@@ -1,0 +1,154 @@
+"""Per-document extraction orchestrator — pure Python, the unit of work the
+Spark Arrow stage applies to every row.
+
+Mirrors the reference's entry point B (SURVEY.md §3.2) with the OCR black box
+replaced by deterministic parsing:
+
+  sniff (PDF-text vs HTML) -> segment (E1-E4 / boilerplate strip) ->
+  classify (C1) -> extract fields+persons with spans (X1-X7) -> enrich (X8)
+  -> validate+score (X3) -> confidence (C4) -> priority/urgency (C2/C3)
+  -> monto_total (A1) -> keywords.
+
+Never raises: unusable rows come back as a single segment with error set
+(the DLQ/quarantine analog, template.yaml:88-90 -> error column).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from . import boilerplate, classifier, extractors, segmentation
+from .normalizers import parse_date_es
+
+PDF_MAGIC = b"%PDF"
+MIN_HTML_BYTES = 16          # validators.py:19-20 analog (1KB-50MB envelope,
+MAX_HTML_BYTES = 50_000_000  # scaled down for web pages: reject empty/huge)
+
+
+def extract_document(
+    url: str,
+    html_bytes: Optional[bytes],
+    text: Optional[str],
+    lang: Optional[str],
+    pages_per_doc: int = 1,
+) -> list[dict[str, Any]]:
+    """One input page -> 1..N extracted segment records.
+
+    Returns a list of flat dicts matching pipeline.schema.EXTRACTION_SCHEMA.
+    """
+    try:
+        segments = _segment(html_bytes, text, pages_per_doc)
+    except Exception as e:  # defensive: quarantine, never throw in executor
+        return [_error_record(url, lang, f"segmentation_error: {e}")]
+
+    if not segments:
+        return [_error_record(url, lang, "empty_document")]
+
+    out: list[dict[str, Any]] = []
+    for seg_no, seg_text in segments:
+        try:
+            out.append(_extract_segment(url, seg_no, seg_text, lang))
+        except Exception as e:
+            rec = _error_record(url, lang, f"extraction_error: {e}")
+            rec["seg_no"] = seg_no
+            out.append(rec)
+    return out
+
+
+def _segment(
+    html_bytes: Optional[bytes], text: Optional[str], pages_per_doc: int
+) -> list[tuple[int, str]]:
+    """Choose the PDF-text split path or the HTML boilerplate path."""
+    if html_bytes is not None and len(html_bytes) >= MIN_HTML_BYTES:
+        if len(html_bytes) > MAX_HTML_BYTES:
+            raise ValueError("document exceeds size envelope")
+        if html_bytes.startswith(PDF_MAGIC):
+            # PDF path: the text layer carries \f-separated pages (E1-E4).
+            segs = segmentation.segment_document(text or "", pages_per_doc)
+            return [(s.seg_no, s.text) for s in segs if s.text]
+        html = boilerplate.decode_html(html_bytes)
+        if "<" in html:
+            main = boilerplate.extract_main_text(html)
+            return [(1, main)] if main else []
+    # no usable html column: fall back to raw text (single segment)
+    if text and text.strip():
+        segs = segmentation.segment_document(text, pages_per_doc)
+        return [(s.seg_no, s.text) for s in segs if s.text]
+    return []
+
+
+def _extract_segment(url: str, seg_no: int, seg_text: str, lang: Optional[str]) -> dict[str, Any]:
+    doc_type = classifier.classify(seg_text, lang)
+    fields = extractors.extract_fields(seg_text)
+    persons = extractors.extract_persons(seg_text)
+
+    # X8 semantics: the row extractor *is* the primary person source here; the
+    # "expected but missing" warning survives as a validation signal.
+    expected = extractors.should_have_persons(seg_text)
+    enrichment_warning = expected and not persons
+
+    by_field = {r["field"]: r["value"] for r in reversed(fields)}  # first wins
+    numero_oficio = by_field.get("numero_oficio")
+    fecha_raw = by_field.get("date_es") or by_field.get("fecha_emision")
+    fecha_iso = parse_date_es(fecha_raw) if fecha_raw else None
+
+    val = extractors.validate_extraction(numero_oficio, fecha_raw, persons)
+    conf = classifier.confidence(
+        has_structured=bool(persons or fields),
+        has_text=bool(seg_text),
+        validation_score=val["confidence_score"] if (val["valid_count"] + val["invalid_count"]) else None,
+    )
+    total = extractors.monto_total(persons)
+    keywords = extractors.find_keywords(seg_text)
+
+    return {
+        "url": url,
+        "seg_no": seg_no,
+        "doc_type": doc_type.tipo,
+        "tramite": doc_type.tramite,
+        "departamento": doc_type.departamento,
+        "extracted_text": seg_text,
+        "numero_oficio": numero_oficio,
+        "fecha": fecha_iso,
+        "autoridad": by_field.get("autoridad"),
+        "fields": fields,
+        "personas": persons,
+        "n_personas": len(persons),
+        "monto_total": total,
+        "palabras_clave": keywords,
+        "validation_score": val["confidence_score"],
+        "validation_passed": bool(val["validation_passed"]),
+        "persons_expected": bool(expected),
+        "enrichment_warning": bool(enrichment_warning),
+        "confianza": conf,
+        "priority": classifier.priority(doc_type.tipo, total),
+        "urgente": classifier.requires_urgent_action(doc_type.tipo),
+        "error": None,
+    }
+
+
+def _error_record(url: str, lang: Optional[str], error: str) -> dict[str, Any]:
+    return {
+        "url": url,
+        "seg_no": 1,
+        "doc_type": "unknown",
+        "tramite": "Desconocido",
+        "departamento": "Desconocido",
+        "extracted_text": "",
+        "numero_oficio": None,
+        "fecha": None,
+        "autoridad": None,
+        "fields": [],
+        "personas": [],
+        "n_personas": 0,
+        "monto_total": 0.0,
+        "palabras_clave": [],
+        "validation_score": 0.0,
+        "validation_passed": False,
+        "persons_expected": False,
+        "enrichment_warning": False,
+        "confianza": "baja",
+        "priority": "Medium",
+        "urgente": False,
+        "error": error,
+    }
