@@ -1,0 +1,165 @@
+"""End-to-end Spark pipeline tests: Arrow stage plumbing, byte-identical
+golden diff via anti-join, long-format flattening, lineage + resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_sam_project_spark.pipeline.job import (
+    completed_parts,
+    run_extraction_job,
+    with_part_id,
+)
+from ocr_sam_project_spark.pipeline.stages import entities_long, extract_stage, fields_long
+
+
+@pytest.fixture(scope="module")
+def extractions(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    df = extract_stage(pages)
+    df.cache()
+    df.count()
+    return df
+
+
+def test_extract_stage_runs_and_covers_all_urls(spark, pages_parquet, extractions):
+    n_pages = spark.read.parquet(pages_parquet).count()
+    assert n_pages == 400
+    # every input url appears (content rows extracted, dead rows quarantined)
+    assert extractions.select("url").distinct().count() == n_pages
+
+
+def test_byte_identical_vs_golden_antijoin(spark, golden_parquet, extractions):
+    """The fixture gate: golden ANTI-JOIN extracted == empty, both directions,
+    joined on (url, seg_no, extracted_text) — any byte drift shows up."""
+    golden = spark.read.parquet(golden_parquet)
+    got = extractions.filter(F.col("error").isNull()).select(
+        "url", F.col("seg_no").cast("int").alias("seg_no"), "extracted_text"
+    )
+    keys = ["url", "seg_no", "extracted_text"]
+    missing = golden.join(got, keys, "left_anti").count()
+    assert missing == 0, f"{missing} golden segments not reproduced byte-identically"
+    # and the expected-covered urls produce no EXTRA segments
+    golden_urls = golden.select("url").distinct()
+    extra = (
+        got.join(golden_urls, "url", "left_semi")
+        .join(golden, keys, "left_anti")
+        .count()
+    )
+    assert extra == 0, f"{extra} unexpected extra segments on golden urls"
+
+
+def test_quarantine_rows_carry_error(extractions):
+    errs = extractions.filter(F.col("error").isNotNull())
+    assert errs.count() > 0
+    assert errs.filter(F.col("error") == "empty_document").count() > 0
+
+
+def test_doc_types_routed(extractions):
+    types = {r.doc_type for r in extractions.select("doc_type").distinct().collect()}
+    # all 16 types + unknown appear across 400 synthetic pages
+    assert "unknown" in types
+    assert len(types) >= 15, sorted(types)
+
+
+def test_fields_long_format(extractions):
+    fl = fields_long(extractions)
+    assert set(fl.columns) == {"url", "seg_no", "doc_type", "field", "value", "span"}
+    rows = fl.filter(F.col("field") == "numero_oficio").limit(5).collect()
+    assert rows
+    # span offsets index into extracted_text
+    sample = rows[0]
+    text = (
+        extractions.filter((F.col("url") == sample.url) & (F.col("seg_no") == sample.seg_no))
+        .select("extracted_text")
+        .first()
+        .extracted_text
+    )
+    assert text[sample.span.start : sample.span.end] == sample.value
+
+
+def test_entities_long_both_name_conventions(extractions):
+    e = entities_long(extractions)
+    row = (
+        e.filter(F.size(F.split(F.col("nombre_completo"), " ")) >= 4)
+        .select("nombre_completo", "apellido_paterno_v1", "apellido_paterno_v2")
+        .first()
+    )
+    assert row is not None
+    toks = row.nombre_completo.split()
+    assert row.apellido_paterno_v1 == toks[1]
+    assert row.apellido_paterno_v2 == toks[-2]
+
+
+def test_monto_total_equals_sum_of_personas(extractions):
+    bad = (
+        extractions.filter(F.size("personas") > 0)
+        .withColumn(
+            "recomputed",
+            F.aggregate("personas", F.lit(0.0), lambda acc, p: acc + p["monto_numerico"]),
+        )
+        .filter(F.abs(F.col("recomputed") - F.col("monto_total")) > 1e-9)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_extraction_plan_is_shuffle_free(extractions, spark, pages_parquet):
+    """Scale guard: the extract stage must be a narrow map — no Exchange."""
+    pages = spark.read.parquet(pages_parquet)
+    plan = extract_stage(pages)._jdf.queryExecution().executedPlan().toString()
+    # the union of (arrow-map, native-projected quarantine) branches must not
+    # introduce a shuffle
+    assert "Exchange" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# lineage + resume (SURVEY.md §5 item 5)
+# --------------------------------------------------------------------------
+def test_job_lineage_and_resume(spark, pages_parquet, tmp_path):
+    out = str(tmp_path / "out")
+    num_parts = 8
+
+    pages = with_part_id(spark.read.parquet(pages_parquet), num_parts)
+    all_parts = sorted(r.part_id for r in pages.select("part_id").distinct().collect())
+
+    # run 1: simulate a kill after the first 3 partitions
+    first = all_parts[:3]
+    s1 = run_extraction_job(
+        spark, pages_parquet, out, run_id="r1", num_parts=num_parts, only_parts=first
+    )
+    assert s1["docs_in"] > 0
+    assert sorted(completed_parts(spark, f"{out}/lineage")) == sorted(first)
+
+    # run 2: resume — must skip completed parts and finish the rest
+    s2 = run_extraction_job(spark, pages_parquet, out, run_id="r2", num_parts=num_parts)
+    assert s2["skipped_parts"] == sorted(first)
+    assert sorted(completed_parts(spark, f"{out}/lineage")) == all_parts
+
+    # resumed state is complete & identical to a fresh one-shot run
+    resumed = spark.read.parquet(f"{out}/extractions")
+    out2 = str(tmp_path / "fresh")
+    run_extraction_job(spark, pages_parquet, out2, run_id="rf", num_parts=num_parts)
+    fresh = spark.read.parquet(f"{out2}/extractions")
+    cols = ["url", "seg_no", "extracted_text", "doc_type", "monto_total", "error"]
+    assert resumed.select(cols).exceptAll(fresh.select(cols)).count() == 0
+    assert fresh.select(cols).exceptAll(resumed.select(cols)).count() == 0
+
+    # run 2 did not re-extract run 1's partitions (lineage rows prove it:
+    # each part_id completed exactly once, under the run that owned it)
+    lin = spark.read.parquet(f"{out}/lineage")
+    per_part = lin.groupBy("part_id").count().filter(F.col("count") > 1).count()
+    assert per_part == 0
+
+    # a third run is a no-op
+    s3 = run_extraction_job(spark, pages_parquet, out, run_id="r3", num_parts=num_parts)
+    assert s3["docs_in"] == 0
+
+
+def test_metrics_written(spark, pages_parquet, tmp_path):
+    out = str(tmp_path / "m")
+    run_extraction_job(spark, pages_parquet, out, run_id="rm", num_parts=4)
+    m = spark.read.parquet(f"{out}/metrics")
+    names = {r.metric for r in m.select("metric").distinct().collect()}
+    assert {"docs_in", "segments_out", "errors", "elapsed_sec", "docs_per_sec"} <= names
