@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline extraction throughput + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "extraction_pipeline_sec", "value": <sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>, "docs_per_sec": <n>, ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  table dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_PAGES         override synthetic pages count for the pipeline bench
+
+The headline metric is the north-star one: documents/sec through the full
+extraction job (scan -> Arrow extract -> parquet write), on a synthetic
+deterministic pages table sized to the SF.  Query timings force full
+computation via the noop sink (count() would let Catalyst prune the very
+projections being measured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+if HERE not in sys.path:
+    sys.path.insert(0, HERE)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# benched queries: one per operator family (full list runs in pytest parity)
+BENCH_QUERIES = [
+    "a1_monto_total",
+    "a2_status_rollup",
+    "w1_secuencia",
+    "j1_equi_join",
+    "c1_classify",
+    "x1_extract_cedula",
+    "n3_money_parse",
+    "n4_date_es",
+    "t_quality",
+    "t_lang_id",
+    "d_exact_dedup",
+    "d_minhash_lsh_near_dups",
+    "d_simhash",
+    "s_topk_cosine",
+    "s_topk_cosine_lsh",
+    "pipeline_extract",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _pages_parquet(sf: float) -> tuple[str, int]:
+    """Deterministic synthetic pages table sized to the SF (cached)."""
+    n = int(os.environ.get("BENCH_PAGES", "0")) or max(2000, int(sf * 200_000))
+    cache = os.path.join(HERE, ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"pages_n{n}_seed42.parquet")
+    if not os.path.exists(path):
+        from ocr_sam_project_spark.sources.io import write_pages_parquet
+
+        write_pages_parquet(path, n=n, seed=42)
+    return path, n
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("ocr-sam-project-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = _sf_from_dir(SF_DIR)
+
+    # ---- headline: full extraction job over synthetic pages ----------------
+    from ocr_sam_project_spark.pipeline.job import run_extraction_job
+
+    pages_path, n_pages = _pages_parquet(sf)
+    out_dir = tempfile.mkdtemp(prefix="bench_extract_")
+    # warm the JVM/Arrow path on a small slice first so the measured run is
+    # steady-state (the driver compares per-round numbers)
+    t0 = time.monotonic()
+    summary = run_extraction_job(
+        spark, pages_path, out_dir, run_id="bench", num_parts=CPUS
+    )
+    pipeline_sec = time.monotonic() - t0
+    docs_per_sec = summary["docs_in"] / summary["elapsed_sec"] if summary["elapsed_sec"] else 0.0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # ---- per-query timings --------------------------------------------------
+    from ocr_sam_project_spark.queries import QUERY_FNS
+
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERY_FNS[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "extraction_pipeline_sec",
+                "value": round(pipeline_sec, 3),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "docs_per_sec": round(docs_per_sec, 1),
+                "pages": n_pages,
+                "segments_out": summary["segments_out"],
+                "errors": summary["errors"],
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Two-parallelism scaling bench — the BASELINE.json north_rule criterion.
+
+Runs the IDENTICAL extraction job at local[N] and local[4N] (fresh JVM per
+run, `spark-submit`-equivalent isolation via subprocess) on the SAME input,
+reports throughput at both plus scaling efficiency
+
+    eff = (docs_per_sec_4N / docs_per_sec_N) / 4
+
+and appends the result table to BENCH.md.  Criterion: eff >= 0.8.
+
+Usage: python bench/scaling.py [--pages 20000] [--n 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {here!r})
+from pyspark.sql import SparkSession
+
+cpus = {cpus}
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .appName("scaling-bench")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.driver.memory", "16g")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from ocr_sam_project_spark.pipeline.job import run_extraction_job
+out = tempfile.mkdtemp(prefix="scale_")
+# warm-up pass over a small prefix (JVM/Arrow spin-up excluded from timing)
+warm = tempfile.mkdtemp(prefix="scale_warm_")
+run_extraction_job(spark, {warm_pages!r}, warm, run_id="warm", num_parts=cpus)
+shutil.rmtree(warm, ignore_errors=True)
+s = run_extraction_job(spark, {pages!r}, out, run_id="scale", num_parts=cpus)
+shutil.rmtree(out, ignore_errors=True)
+print("RESULT " + json.dumps({{"cpus": cpus, "docs": s["docs_in"],
+      "elapsed": s["elapsed_sec"],
+      "docs_per_sec": s["docs_in"] / s["elapsed_sec"]}}))
+spark.stop()
+"""
+
+
+def run_at(cpus: int, pages: str, warm_pages: str) -> dict:
+    code = _CHILD.format(here=HERE, cpus=cpus, pages=pages, warm_pages=warm_pages)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=20000)
+    ap.add_argument("--warm-pages", type=int, default=1000)
+    ap.add_argument("--n", type=int, default=8, help="small parallelism (large = 4n)")
+    args = ap.parse_args()
+
+    sys.path.insert(0, HERE)
+    from ocr_sam_project_spark.sources.io import write_pages_parquet
+
+    cache = os.path.join(HERE, ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    pages = os.path.join(cache, f"pages_n{args.pages}_seed42.parquet")
+    if not os.path.exists(pages):
+        write_pages_parquet(pages, n=args.pages, seed=42)
+    warm = os.path.join(cache, f"pages_n{args.warm_pages}_seed43.parquet")
+    if not os.path.exists(warm):
+        write_pages_parquet(warm, n=args.warm_pages, seed=43)
+
+    small = run_at(args.n, pages, warm)
+    large = run_at(args.n * 4, pages, warm)
+    eff = (large["docs_per_sec"] / small["docs_per_sec"]) / 4.0
+
+    result = {
+        "pages": args.pages,
+        "n_small": args.n,
+        "n_large": args.n * 4,
+        "docs_per_sec_small": round(small["docs_per_sec"], 1),
+        "docs_per_sec_large": round(large["docs_per_sec"], 1),
+        "elapsed_small_sec": round(small["elapsed"], 2),
+        "elapsed_large_sec": round(large["elapsed"], 2),
+        "scaling_efficiency": round(eff, 3),
+        "criterion_ge_0.8": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+    md = os.path.join(HERE, "BENCH.md")
+    header_needed = not os.path.exists(md)
+    with open(md, "a") as f:
+        if header_needed:
+            f.write(
+                "# BENCH — scaling evidence (north_rule: efficiency >= 0.8 "
+                "between N and 4N parallelism)\n\n"
+                "Identical extraction job (`run_extraction_job`, fresh JVM per run,\n"
+                "warm-up pass excluded) on the same synthetic pages parquet.\n\n"
+                "| pages | local[N] | local[4N] | docs/s @N | docs/s @4N | efficiency | pass |\n"
+                "|---|---|---|---|---|---|---|\n"
+            )
+        f.write(
+            f"| {args.pages} | local[{args.n}] | local[{args.n * 4}] "
+            f"| {result['docs_per_sec_small']} | {result['docs_per_sec_large']} "
+            f"| {result['scaling_efficiency']} | {'YES' if eff >= 0.8 else 'NO'} |\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

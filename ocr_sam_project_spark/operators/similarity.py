@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k — the exactness baseline: broadcast the query
+  vector, one narrow pass computing dot/norms via F.zip_with/F.aggregate
+  (JVM-side, no Python), then a global top-k (takeOrdered-style sort+limit,
+  which Spark executes as a per-partition top-k + driver merge — no full
+  sort shuffle of the corpus).
+* LSH-bucketed (random-hyperplane sign bits) — the scale path: candidates
+  share a signature bucket, brute-force only inside the bucket.  At 10^9+
+  vectors this is the difference between scanning everything per query and
+  touching ~1/2^bits of it.
+* IVF-style coarse quantization — kmeans-lite with deterministic seed
+  centroids picked from the data (no Date.now/random), probe nearest
+  `nprobe` centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import hash64
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k by cosine vs a literal query vector.
+    Deterministic tie-break: (sim DESC, id ASC).  Returns (vec_id, sim)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("sim"),
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def rhp_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane sign signature: bit_i = (vec . plane_i) >= 0.
+    Planes are fixed literals (deterministic)."""
+    sig = F.lit(0)
+    for i, p in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in p])
+        sig = sig + F.when(dot(vec_col, pl) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return sig
+
+
+def deterministic_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Pseudo-random-but-frozen hyperplanes derived from md5 of (i,j) —
+    reproducible across engines and runs, no RNG state."""
+    import hashlib
+
+    planes = []
+    for i in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"plane:{i}:{j}".encode()).hexdigest()
+            # map first 8 hex chars to [-1, 1)
+            row.append(int(h[:8], 16) / float(2**31) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def topk_cosine_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Scale path: restrict the brute-force scan to vectors whose RHP
+    signature is within `multiprobe` bit flips of the query's, then exact
+    top-k inside the candidate set.  Recall < 1.0 by construction; raise
+    n_planes/multiprobe to trade cost for recall."""
+    dim = len(query_vec)
+    planes = deterministic_planes(dim, n_planes)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qsig += 2**i
+    probe_sigs = {qsig}
+    if multiprobe >= 1:
+        probe_sigs |= {qsig ^ (1 << b) for b in range(n_planes)}
+    sig = rhp_signature(F.col(vec_col), planes)
+    cand = df.withColumn("_sig", sig).filter(F.col("_sig").isin(list(probe_sigs)))
+    return topk_cosine(cand.drop("_sig"), query_vec, k, id_col, vec_col)
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse assignment with deterministic centroids: the centroid set
+    is the vectors whose hash64(id) is smallest (a frozen pseudo-random
+    sample — no RNG).  Returns df + `centroid_id`.
+
+    At scale the centroid table is tiny -> broadcast join; assignment is one
+    narrow pass."""
+    cent = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .withColumn("_h", hash64(F.col("cid").cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .drop("_h")
+    )
+    joined = df.crossJoin(F.broadcast(cent)).withColumn(
+        "_d", cosine(F.col(vec_col), F.col("cvec"))
+    )
+    best = joined.groupBy(id_col).agg(F.max_by("cid", "_d").alias("centroid_id"))
+    return df.join(best, id_col)
+
+
+def near_dup_cosine(
+    df: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cos >= tau): bucket by RHP
+    signature, exact cosine inside buckets only (high-tau near-dups almost
+    surely share all sign bits)."""
+    # infer dim from one row (driver-side; metadata-cheap)
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    planes = deterministic_planes(first.d, n_planes)
+    s = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        rhp_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("sim", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .filter(F.col("sim") >= tau)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "sim")
+    )

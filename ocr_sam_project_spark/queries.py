@@ -1,0 +1,855 @@
+"""Query registry: every implemented operator from SURVEY.md §2 (plus the
+training-data operators) as a (Spark impl, DuckDB oracle SQL) pair.
+
+The driver runs each Spark query AND its oracle at sf=0.01 and compares
+row-count + schema + order-insensitive value-hash, so BOTH sides must agree
+on column names AND exact values.  Parity rules used throughout:
+
+* shared integer hash  = first 14 hex chars of md5, base-16  (verified equal:
+  Spark ``conv(substring(md5(x),1,14),16,10)`` == DuckDB
+  ``CAST('0x'||substr(md5(x),1,14) AS BIGINT)``)
+* exact money sums via DECIMAL(18,2) accumulate, cast back to double
+* doubles rounded (6 dp; cosine 4 dp) before comparison
+* regexes restricted to the Java∩RE2 subset
+* deterministic ORDER BY + tie-breaks before any LIMIT
+
+Queries with no SQL-expressible twin (full extraction pipeline, LSH
+candidate generation) are registered without an oracle -> the driver
+records a weaker rows-only check (documented per query).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _load(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _sql(name: str, spark_sql: str, duck_sql: str | None) -> None:
+    def fn(spark: SparkSession, sf_dir: str, _q=spark_sql) -> DataFrame:
+        _load(spark, sf_dir)
+        return spark.sql(_q)
+
+    QUERY_FNS[name] = fn
+    if duck_sql is not None:
+        ORACLES[name] = duck_sql
+
+
+def _df(name: str, fn: Callable[[SparkSession, str], DataFrame], duck_sql: str | None) -> None:
+    QUERY_FNS[name] = fn
+    if duck_sql is not None:
+        ORACLES[name] = duck_sql
+
+
+# ===========================================================================
+# shared synthesized legal text (identical SQL fragment in both dialects) —
+# turns the word-salad `documents` table into deterministic pseudo-oficios so
+# the extraction operators have real values to find, with an exact oracle.
+# ===========================================================================
+_SNIPPETS = [
+    "se decreta el secuestro civil de los bienes",
+    "se ordena la aprehension inmediata de los fondos",
+    "se solicita el traslado de fondos aprehendidos",
+    "se ordena el levantamiento de la medida cautelar",
+    "se decreta formal embargo sobre las cuentas del demandado",
+    "se declara la adjudicacion de los bienes de la sucesion",
+    "dentro del proceso de sucesion se requiere informe",
+    "la presente es de solo notificacion para efectos legales",
+    "se cita a comparecer mediante citacion formal",
+    "en la investigacion civil que se adelanta se solicita",
+    "en la investigacion de familia se requiere certificacion",
+    "dentro de la investigacion penal se ordena remitir",
+    "se emite solicitud de informacion de clientes",
+    "se practicara inspeccion ocular en las oficinas",
+    "se autoriza el allanamiento del inmueble descrito",
+    "se decreta diligencia exhibitoria de los libros",
+]
+_MONTHS = ["enero", "febrero", "marzo", "abril", "mayo", "junio", "julio",
+           "agosto", "septiembre", "octubre", "noviembre", "diciembre"]
+
+# maps a synthesized snippet back to its doc type slug, CASE priority order
+# mirroring classifier.TAXONOMY routing keywords (deterministic keyword router
+# re-expressed as portable SQL — SURVEY.md §2.4 C1).
+_ROUTES = [
+    ("secuestro", "secuestro_civil"),
+    ("aprehension", "aprehension"),
+    ("traslado de fondos", "traslado_fondos"),
+    ("levantamiento", "levantamiento"),
+    ("embargo", "embargo"),
+    ("adjudicacion", "adjudicacion_sucesion"),
+    ("sucesion", "investigacion_sucesion"),
+    ("solo notificacion", "solo_notificacion"),
+    ("citacion", "citacion"),
+    ("investigacion civil", "investigacion_civil"),
+    ("investigacion de familia", "investigacion_familia"),
+    ("investigacion penal", "investigacion_penal"),
+    ("informacion de clientes", "informacion_clientes"),
+    ("inspeccion ocular", "inspeccion_ocular"),
+    ("allanamiento", "allanamiento"),
+    ("exhibitoria", "diligencia_exhibitoria"),
+]
+
+
+def _case_mod(expr: str, values: list[str]) -> str:
+    n = len(values)
+    branches = " ".join(
+        f"WHEN {expr} % {n} = {i} THEN '{v}'" for i, v in enumerate(values)
+    )
+    return f"(CASE {branches} END)"
+
+
+_S = "string"  # both dialects accept CAST(x AS STRING)? duck prefers VARCHAR
+
+def _legal_text(id_expr: str = "doc_id") -> str:
+    """Portable SQL producing the per-doc pseudo-oficio text (same string in
+    Spark SQL and DuckDB)."""
+    snippet = _case_mod(id_expr, _SNIPPETS)
+    month = _case_mod(id_expr, _MONTHS)
+    return (
+        "concat('Oficio No. JE-', CAST({i} % 9000 + 100 AS {S}), '-2025 del Juzgado ',"
+        " CASE WHEN {i} % 2 = 0 THEN 'Primero' ELSE 'Segundo' END,"
+        " ' de lo Civil. Panama, ', CAST({i} % 28 + 1 AS {S}), ' de ', {month},"
+        " ' de 2025. ', {snippet},"
+        " ' del expediente ', CAST({i} % 900 + 100 AS {S}), '-2025.',"
+        " ' Cedula ', CAST({i} % 9 + 1 AS {S}), '-', CAST({i} % 900 + 100 AS {S}),"
+        " '-', CAST({i} % 9000 + 1000 AS {S}),"
+        " ' por un monto de B/. ', CAST(({i} * 137) % 100000 AS {S}), '.50')"
+    ).format(i=id_expr, S=_S, month=month, snippet=snippet)
+
+
+_HEADER_TEXT = (
+    "concat(CASE WHEN doc_id % 3 = 0 THEN 'empresa: ' WHEN doc_id % 3 = 1 THEN"
+    " 'cliente: ' ELSE 'organizacion: ' END, 'ENTIDAD_', CAST(doc_id % 50 AS {S}),"
+    " ' cantidad_oficios: ', CAST(doc_id % 9 + 1 AS {S}),"
+    " CASE WHEN doc_id % 2 = 0 THEN concat(' origen: PROV_', CAST(doc_id % 10 AS {S})) ELSE '' END)"
+).format(S=_S)
+
+
+def _classify_case(text_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN contains({text_expr}, '{kw}') THEN '{slug}'" for kw, slug in _ROUTES
+    )
+    return f"(CASE {branches} ELSE 'unknown' END)"
+
+
+# hash64 per dialect (verified identical output)
+_H_SPARK = "CAST(conv(substring(md5({x}), 1, 14), 16, 10) AS BIGINT)"
+_H_DUCK = "CAST(concat('0x', substr(md5({x}), 1, 14)) AS BIGINT)"
+
+# canonical text normalization (textstats.normalize_for_fingerprint)
+_NORM_SPARK = "trim(regexp_replace(lower({x}), '\\\\s+', ' '))"
+_NORM_DUCK = "trim(regexp_replace(lower({x}), '\\s+', ' ', 'g'))"
+
+_TOKS_SPARK = "split(trim(lower({x})), '\\\\s+')"
+_TOKS_DUCK = "regexp_split_to_array(trim(lower({x})), '\\s+')"
+
+
+# ===========================================================================
+# A — aggregations
+# ===========================================================================
+_sql(
+    "a1_monto_total",
+    # A1: sum of per-entity amounts per document (ocr_processor/app.py:403),
+    # expressed over lineitem: exact DECIMAL accumulate -> double.
+    """SELECT l_orderkey,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS monto_total,
+              COUNT(*) AS n_items
+       FROM lineitem GROUP BY l_orderkey""",
+    """SELECT l_orderkey,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS monto_total,
+              COUNT(*) AS n_items
+       FROM lineitem GROUP BY l_orderkey""",
+)
+
+_A2 = """SELECT o_custkey AS batch_id,
+              COUNT(*) AS total_jobs,
+              SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS completed,
+              SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS processing,
+              SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS errors,
+              CASE
+                WHEN SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = COUNT(*) THEN 'completed'
+                WHEN SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) > 0 THEN 'partial_completion'
+                WHEN SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) > 0 THEN 'processing'
+                ELSE 'queued'
+              END AS batch_status
+       FROM orders GROUP BY o_custkey"""
+# A2: batch progress rollup + derived status state machine
+# (tracking_service.py:93-147) — conditional hash-agg.
+_sql("a2_status_rollup", _A2, _A2)
+
+_A4 = """SELECT event_type,
+              COUNT(*) AS n,
+              ROUND(AVG(CASE WHEN value > 100 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS success_rate
+       FROM events GROUP BY event_type"""
+# A4: handler success tally (ocr_processor/app.py:67-75).
+_sql("a4_success_rate", _A4, _A4)
+
+# A5: extracted-field count (metadata_service.py:101-120): sum of non-null
+# indicators over the coalesced header extracts.
+_A5_BODY = """SELECT doc_id,
+              (CASE WHEN coalesce(nullif(regexp_extract(h, 'empresa:\\s*(\\S+)', 1), ''),
+                                  nullif(regexp_extract(h, 'cliente:\\s*(\\S+)', 1), ''),
+                                  nullif(regexp_extract(h, 'organizacion:\\s*(\\S+)', 1), '')) IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN nullif(regexp_extract(h, 'cantidad_oficios:\\s*(\\d+)', 1), '') IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN nullif(regexp_extract(h, 'origen:\\s*(\\S+)', 1), '') IS NOT NULL THEN 1 ELSE 0 END) AS extracted_fields_count
+       FROM headers"""
+_sql(
+    "a5_field_count",
+    f"WITH headers AS (SELECT doc_id, {_HEADER_TEXT} AS h FROM documents) "
+    + _A5_BODY.replace("\\s", "\\\\s").replace("\\d", "\\\\d").replace("\\S", "\\\\S"),
+    f"WITH headers AS (SELECT doc_id, {_HEADER_TEXT} AS h FROM documents) " + _A5_BODY,
+)
+
+# ===========================================================================
+# W — window / enumeration
+# ===========================================================================
+_W1 = """SELECT o_custkey, o_orderkey,
+              ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS secuencia
+       FROM orders"""
+# W1: 1-based enumeration within a group (ocr_processor/app.py:469,498).
+_sql("w1_secuencia", _W1, _W1)
+
+_W3 = """SELECT * FROM (
+         SELECT o_orderpriority, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         FROM orders) t WHERE rk <= 3"""
+# W3: preview top-k per group (ocr_processor/app.py:652-668).
+_sql("w3_topk_per_group", _W3, _W3)
+
+# ===========================================================================
+# J — joins
+# ===========================================================================
+_J1 = """SELECT o.o_orderkey AS job_id, c.c_custkey AS batch_id, c.c_mktsegment,
+              CAST(o.o_totalprice AS DOUBLE) AS monto
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_mktsegment = 'BUILDING'"""
+# J1: job_id equi-join of message vs stored result (crm_integrator/app.py:89-113);
+# small side broadcast (Spark picks BroadcastHashJoin via AQE).
+_sql("j1_equi_join", _J1, _J1)
+
+_TAXO_VALUES = (
+    "(VALUES ('secuestro_civil','Secuestros','Civil'),('aprehension','Secuestros','Civil'),"
+    "('traslado_fondos','Secuestros','Civil'),('levantamiento','Levantamientos','Civil'),"
+    "('embargo','Embargos','Civil'),('adjudicacion_sucesion','Juicios de Sucesion','Civil'),"
+    "('investigacion_sucesion','Juicios de Sucesion','Civil'),('solo_notificacion','Citaciones','Civil'),"
+    "('citacion','Citaciones','Civil'),('investigacion_civil','Investigaciones','Penal'),"
+    "('investigacion_familia','Investigaciones','Penal'),('investigacion_penal','Investigaciones','Penal'),"
+    "('informacion_clientes','Investigaciones','Penal'),('inspeccion_ocular','Investigaciones','Penal'),"
+    "('allanamiento','Investigaciones','Penal'),('diligencia_exhibitoria','Investigaciones','Penal'))"
+    " AS taxo(tipo, tramite, departamento)"
+)
+
+
+def _j4(dialect_text: str) -> str:
+    return (
+        f"WITH docs AS (SELECT doc_id, {_classify_case(dialect_text)} AS doc_type "
+        f"FROM (SELECT doc_id, {_legal_text()} AS lt FROM documents) s) "
+        f"SELECT d.doc_id, d.doc_type, taxo.tramite, taxo.departamento "
+        f"FROM docs d JOIN {_TAXO_VALUES} ON d.doc_type = taxo.tipo"
+    )
+
+
+# J4: 16-row taxonomy broadcast join (ocr_service.py:305-321).
+_sql("j4_taxonomy_join", _j4("lt"), _j4("lt"))
+
+# ===========================================================================
+# F — filters / projections
+# ===========================================================================
+_F1 = """SELECT doc_id, n_chars FROM documents
+       WHERE n_chars BETWEEN 100 AND 10000 AND text IS NOT NULL AND length(text) > 0"""
+# F1: input validity envelope (validators.py:16-44).
+_sql("f1_validity_filter", _F1, _F1)
+
+_F5 = """SELECT CASE WHEN event_type IN ('error') THEN false ELSE true END AS success,
+              COUNT(*) AS n
+       FROM events GROUP BY 1"""
+# F5: success/failure split (ocr_processor/app.py:68-69).
+_sql("f5_success_split", _F5, _F5)
+
+_F6 = """SELECT c_custkey,
+              CASE WHEN length(c_name) > 12 THEN concat(substring(c_name, 1, 9), '...')
+                   ELSE c_name END AS contact_name,
+              coalesce(c_mktsegment, 'No especificado') AS segment,
+              CAST(c_acctbal AS DOUBLE) AS balance,
+              CASE WHEN c_acctbal < 0 THEN 0.0
+                   WHEN c_acctbal > 999999999 THEN 999999999.0
+                   ELSE CAST(c_acctbal AS DOUBLE) END AS balance_clamped
+       FROM customer"""
+# F6: schema projection with renames/truncation/defaults + N3 clamp
+# (crm_integrator/app.py:225-360, :485-488).
+_sql("f6_schema_projection", _F6, _F6)
+
+# ===========================================================================
+# C — classification / routing
+# ===========================================================================
+def _c1(text: str) -> str:
+    return (
+        f"WITH d AS (SELECT doc_id, {_legal_text()} AS lt FROM documents) "
+        f"SELECT {_classify_case('lt')} AS doc_type, COUNT(*) AS n FROM d GROUP BY 1"
+    )
+
+
+# C1: 16-type keyword router (deterministic rebuild of ocr_service.py:303-381).
+_sql("c1_classify", _c1("lt"), _c1("lt"))
+
+_C2 = (
+    "WITH d AS (SELECT doc_id, {cls} AS doc_type,"
+    " CAST((doc_id * 137) % 100000 AS DOUBLE) + 0.50 AS monto_total FROM"
+    " (SELECT doc_id, {lt} AS lt FROM documents) s) "
+    "SELECT doc_id, doc_type, monto_total,"
+    " CASE WHEN contains(doc_type, 'secuestro') OR contains(doc_type, 'embargo')"
+    "  OR contains(doc_type, 'aprehension') OR contains(doc_type, 'allanamiento')"
+    "  OR contains(doc_type, 'citacion') OR contains(doc_type, 'levantamiento') THEN 'High'"
+    " WHEN monto_total > 50000 THEN 'High'"
+    " WHEN monto_total > 10000 THEN 'Medium' ELSE 'Medium' END AS priority,"
+    " (contains(doc_type, 'secuestro') OR contains(doc_type, 'embargo')"
+    "  OR contains(doc_type, 'aprehension') OR contains(doc_type, 'allanamiento')"
+    "  OR contains(doc_type, 'citacion') OR contains(doc_type, 'levantamiento')) AS urgente"
+    " FROM d"
+).format(cls=_classify_case("lt"), lt=_legal_text())
+# C2+C3: priority routing & urgency flag (crm_integrator/app.py:404-447).
+_sql("c2_priority", _C2, _C2)
+
+# ===========================================================================
+# X — extraction regex banks (over the synthesized legal text)
+# ===========================================================================
+def _x(name: str, body: str, comment: str = "") -> None:
+    spark = (
+        f"WITH d AS (SELECT doc_id, {_legal_text()} AS lt FROM documents) "
+        + body.replace("\\s", "\\\\s").replace("\\d", "\\\\d").replace("\\b", "\\\\b").replace("\\.", "\\\\.")
+    )
+    duck = f"WITH d AS (SELECT doc_id, {_legal_text()} AS lt FROM documents) " + body
+    _sql(name, spark, duck)
+
+
+# X1: cedula pattern (ocr_service.py:747)
+_x(
+    "x1_extract_cedula",
+    """SELECT doc_id, regexp_extract(lt, '\\b\\d{1,2}-\\d{1,4}-\\d{1,4}\\b', 0) AS cedula FROM d""",
+)
+# X4/X1: oficio number (ocr_service.py:748 via the X1-first strategy)
+_x(
+    "x4_oficio_number",
+    """SELECT doc_id, regexp_extract(lt, '(JE-|DJ-|No\\.?)\\s*\\d{1,6}(-\\d{4})?', 0) AS numero_oficio FROM d""",
+)
+# X5: metadata bank with first-alternative-wins coalesce (metadata_service.py:49-123)
+_sql(
+    "x5_metadata_coalesce",
+    ("WITH h AS (SELECT doc_id, " + _HEADER_TEXT + " AS ht FROM documents) "
+     "SELECT doc_id,"
+     " coalesce(nullif(regexp_extract(ht, 'empresa:\\\\s*(\\\\S+)', 1), ''),"
+     "          nullif(regexp_extract(ht, 'cliente:\\\\s*(\\\\S+)', 1), ''),"
+     "          nullif(regexp_extract(ht, 'organizacion:\\\\s*(\\\\S+)', 1), ''),"
+     " 'No especificado') AS empresa,"
+     " CAST(coalesce(nullif(regexp_extract(ht, 'cantidad_oficios:\\\\s*(\\\\d+)', 1), ''), '0') AS BIGINT) AS cantidad,"
+     " coalesce(nullif(regexp_extract(ht, 'origen:\\\\s*(\\\\S+)', 1), ''), 'No especificado') AS origen"
+     " FROM h"),
+    ("WITH h AS (SELECT doc_id, " + _HEADER_TEXT + " AS ht FROM documents) "
+     "SELECT doc_id,"
+     " coalesce(nullif(regexp_extract(ht, 'empresa:\\s*(\\S+)', 1), ''),"
+     "          nullif(regexp_extract(ht, 'cliente:\\s*(\\S+)', 1), ''),"
+     "          nullif(regexp_extract(ht, 'organizacion:\\s*(\\S+)', 1), ''),"
+     " 'No especificado') AS empresa,"
+     " CAST(coalesce(nullif(regexp_extract(ht, 'cantidad_oficios:\\s*(\\d+)', 1), ''), '0') AS BIGINT) AS cantidad,"
+     " coalesce(nullif(regexp_extract(ht, 'origen:\\s*(\\S+)', 1), ''), 'No especificado') AS origen"
+     " FROM h"),
+)
+
+
+def _x6(rlike_spark: bool) -> str:
+    pats = [
+        "agente\\s+economico", "empleador", "n.?\\s*exp", "r\\.?u\\.?c\\.?",
+        "monto\\s+b/", "\\d+-\\d+-\\d+.*\\d+[,.]\\d+",
+    ]
+    if rlike_spark:
+        cond = " OR ".join(f"lower(lt) RLIKE '{p}'".replace("\\", "\\\\") for p in pats)
+    else:
+        cond = " OR ".join(f"regexp_matches(lower(lt), '{p}')" for p in pats)
+    return (
+        f"WITH d AS (SELECT doc_id, {_legal_text()} AS lt FROM documents) "
+        f"SELECT ({cond}) AS should_have_persons, COUNT(*) AS n FROM d GROUP BY 1"
+    )
+
+
+# X6: person-table presence detector (post_ocr_validator.py:72-96).
+_sql("x6_table_detector", _x6(True), _x6(False))
+
+
+def _x3(spark: bool) -> str:
+    esc = (lambda p: p.replace("\\", "\\\\")) if spark else (lambda p: p)
+    rx = (lambda c, p: f"{c} RLIKE '{esc(p)}'") if spark else (
+        lambda c, p: f"regexp_matches({c}, '{esc(p)}')"
+    )
+    oficio = rx("lt", "(JE-|DJ-|No\\.?)\\s*\\d{1,6}(-\\d{4})?")
+    fecha = rx("lt", "\\d{1,2}\\s+de\\s+\\w+\\s+de\\s+\\d{4}")
+    cedula = rx("lt", "\\b\\d{1,2}-\\d{1,4}-\\d{1,4}\\b")
+    return (
+        f"WITH d AS (SELECT doc_id, {_legal_text()} AS lt FROM documents), "
+        "v AS (SELECT doc_id,"
+        f" (CASE WHEN {oficio} THEN 1 ELSE 0 END + CASE WHEN {fecha} THEN 1 ELSE 0 END"
+        f"  + CASE WHEN {cedula} THEN 1 ELSE 0 END) AS valid,"
+        f" (CASE WHEN {oficio} THEN 0 ELSE 1 END + CASE WHEN {fecha} THEN 0 ELSE 1 END"
+        f"  + CASE WHEN {cedula} THEN 0 ELSE 1 END) AS invalid FROM d) "
+        "SELECT doc_id, valid, invalid,"
+        " ROUND(CAST(valid AS DOUBLE) / (valid + invalid), 6) AS confidence_score,"
+        " (CAST(valid AS DOUBLE) / (valid + invalid)) >= 0.7 AS validation_passed FROM v"
+    )
+
+
+# X3: field validation & scoring, 0.7 pass threshold (ocr_service.py:726-827).
+_sql("x3_validation_score", _x3(True), _x3(False))
+
+# ===========================================================================
+# N — normalizers as columns
+# ===========================================================================
+def _n3(spark: bool) -> str:
+    money_pat = "B/\\.\\s*[0-9][0-9,]*\\.?[0-9]{0,2}"
+    if spark:
+        extract = f"regexp_extract(lt, '{money_pat}', 0)".replace("\\", "\\\\")
+    else:
+        extract = f"regexp_extract(lt, '{money_pat}', 0)"
+    clean = (
+        f"trim(replace(replace({extract}, 'B/.', ''), ',', ''))"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, {_legal_text()} AS lt FROM documents) "
+        f"SELECT doc_id, {extract} AS monto_raw,"
+        f" CASE WHEN try_cast({clean} AS DOUBLE) IS NULL THEN 0.0"
+        f"      WHEN try_cast({clean} AS DOUBLE) < 0 THEN 0.0"
+        f"      WHEN try_cast({clean} AS DOUBLE) > 999999999 THEN 999999999.0"
+        f"      ELSE try_cast({clean} AS DOUBLE) END AS monto_numerico FROM d"
+    )
+
+
+# N3: money parse with CRM clamp (crm_integrator/app.py:476-491).
+_sql("n3_money_parse", _n3(True), _n3(False))
+
+
+def _n4(spark: bool) -> str:
+    pat = "(\\d{1,2}) de (\\w+) de (\\d{4})"
+    e = (lambda s: s.replace("\\", "\\\\")) if spark else (lambda s: s)
+    month_case = " ".join(
+        f"WHEN regexp_extract(lt, '{e(pat)}', 2) = '{m}' THEN '{i + 1:02d}'"
+        for i, m in enumerate(_MONTHS)
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, {_legal_text()} AS lt FROM documents) "
+        f"SELECT doc_id,"
+        f" CASE WHEN regexp_extract(lt, '{e(pat)}', 1) = '' THEN '1900-01-01'"
+        f" ELSE concat(regexp_extract(lt, '{e(pat)}', 3), '-',"
+        f"  CASE {month_case} ELSE NULL END, '-',"
+        f"  lpad(regexp_extract(lt, '{e(pat)}', 1), 2, '0')) END AS fecha_iso FROM d"
+    )
+
+
+# N4: Spanish long-form date -> ISO with month map + sentinel
+# (crm_integrator/app.py:692-742).
+_sql("n4_date_es", _n4(True), _n4(False))
+
+_N6 = """SELECT s_suppkey,
+              CASE WHEN s_name IS NULL OR trim(s_name) = '' THEN 'No especificado'
+                   WHEN length(s_name) > 14 THEN concat(substring(s_name, 1, 11), '...')
+                   ELSE trim(s_name) END AS safe_name
+       FROM supplier"""
+# N6: safe_string default/strip/truncate (crm_integrator/app.py:454-464).
+_sql("n6_safe_string", _N6, _N6)
+
+
+def _n78(spark: bool) -> str:
+    toks = "split(nm, ' ')" if spark else "string_split(nm, ' ')"
+    size = "size(t)" if spark else "len(t)"
+    el = (lambda i: f"element_at(t, {i})") if spark else (lambda i: f"t[{i}]")
+    return (
+        f"WITH p AS (SELECT p_partkey, concat(p_name, ' ', p_type, ' ', p_brand) AS nm FROM part), "
+        f"t AS (SELECT p_partkey, nm, {toks} AS t FROM p) "
+        f"SELECT p_partkey, nm,"
+        f" {el(1)} AS nombre,"
+        f" CASE WHEN {size} > 1 THEN {el(2)} ELSE '' END AS apellido_paterno_v1,"
+        f" CASE WHEN {size} > 2 THEN {el(3)} ELSE '' END AS apellido_materno_v1,"
+        f" CASE WHEN {size} >= 2 THEN {el(f'{size} - 1')} ELSE '' END AS apellido_paterno_v2,"
+        f" CASE WHEN {size} >= 3 THEN {el(size)} ELSE '' END AS apellido_materno_v2"
+        f" FROM t"
+    )
+
+
+# N7 vs N8: the two divergent name-split conventions
+# (ocr_processor/app.py:500-503 vs crm_integrator/app.py:389-393).
+_sql("n7_n8_name_split", _n78(True), _n78(False))
+
+
+def _n9(spark: bool) -> str:
+    flags = "" if spark else ", 'g'"
+    # (?i) prefix works in both Java regex and RE2
+    return (
+        "SELECT s_suppkey,"
+        f" initcap(trim(regexp_replace(regexp_replace(concat(s_name, ' Corp'),"
+        f" '(?i)^(s\\.?a\\.?|ltda\\.?|inc\\.?|corp\\.?)\\s*', ''{flags}),"
+        f" '(?i)\\s+(s\\.?a\\.?|ltda\\.?|inc\\.?|corp\\.?)$', ''{flags}))) AS company"
+        " FROM supplier"
+    ).replace("\\", "\\\\") if spark else (
+        # DuckDB has no initcap: emulate Spark's (capitalize first letter of
+        # each space-separated word, lowercase the rest)
+        "SELECT s_suppkey,"
+        " array_to_string(list_transform(string_split("
+        "  trim(regexp_replace(regexp_replace(concat(s_name, ' Corp'),"
+        "  '(?i)^(s\\.?a\\.?|ltda\\.?|inc\\.?|corp\\.?)\\s*', '', 'g'),"
+        "  '(?i)\\s+(s\\.?a\\.?|ltda\\.?|inc\\.?|corp\\.?)$', '', 'g')), ' '),"
+        "  w -> concat(upper(substr(w, 1, 1)), lower(substr(w, 2)))), ' ') AS company"
+        " FROM supplier"
+    )
+
+
+# N9: company-name normalization (utils.py:87-97).
+_sql("n9_company_normalize", _n9(True), _n9(False))
+
+
+def _n12(spark: bool) -> str:
+    cnt = (
+        "size(regexp_extract_all(props, '\\\\d+', 0))"
+        if spark
+        else "len(regexp_extract_all(props, '\\d+'))"
+    )
+    first = (
+        "regexp_extract(props, '(\\\\d+)', 1)" if spark else "regexp_extract(props, '(\\d+)', 1)"
+    )
+    return (
+        f"SELECT event_id, {first} AS first_number, {cnt} AS n_numbers FROM events"
+    )
+
+
+# N12: extract_numbers (utils.py:81-85).
+_sql("n12_extract_numbers", _n12(True), _n12(False))
+
+# ===========================================================================
+# T — text analysis (training-data ops) over documents.text
+# ===========================================================================
+def _t_token_duck() -> str:
+    bpe = "len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]'))"
+    return (
+        f"SELECT doc_id,"
+        f" CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_DUCK.format(x='text')}) END AS n_tokens,"
+        f" {bpe} AS n_subwords FROM documents"
+    )
+
+
+def _t_token_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import bpe_ish_token_count, token_count
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_subwords"),
+    )
+
+
+QUERY_FNS["t_token_count"] = _t_token_fn
+ORACLES["t_token_count"] = _t_token_duck()
+
+
+def _t_lang_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import lang_id
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        df.select("lang", lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+def _t_lang_duck() -> str:
+    from .operators.textstats import LANG_MARKERS
+
+    toks = f"list_distinct({_TOKS_DUCK.format(x='text')})"
+    scores = {
+        lang: f"len(list_intersect({toks}, {list(words)}))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    order = list(LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(order):
+        rest = [scores[l] for l in order[i + 1 :]]
+        ge = " AND ".join([f"s_{lang} >= s_{l}" for l in order[i + 1 :]] + [f"s_{lang} >= 1"])
+        cases.append(f"WHEN {ge} THEN '{lang}'")
+    score_sel = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    return (
+        f"WITH s AS (SELECT lang, {score_sel} FROM documents) "
+        f"SELECT lang, (CASE {' '.join(cases)} ELSE 'und' END) AS lang_guess, COUNT(*) AS n "
+        f"FROM s GROUP BY 1, 2"
+    )
+
+
+QUERY_FNS["t_lang_id"] = _t_lang_fn
+ORACLES["t_lang_id"] = _t_lang_duck()
+
+
+def _t_quality_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import quality_score
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _t_quality_duck() -> str:
+    from .operators.textstats import STOPWORDS_EN
+
+    toks = _TOKS_DUCK.format(x="text")
+    hits = f"len(list_filter({toks}, t -> list_contains({list(STOPWORDS_EN)}, t)))"
+    n = f"len({toks})"
+    stop = f"(CASE WHEN {n} > 0 THEN CAST({hits} AS DOUBLE) / {n} ELSE 0.0 END)"
+    punct = (
+        "(CASE WHEN length(text) > 0 THEN"
+        " CAST(len(regexp_extract_all(text, '[.,;:!?()\\-]')) AS DOUBLE) / length(text)"
+        " ELSE 0.0 END)"
+    )
+    return (
+        "SELECT doc_id, ROUND("
+        " 0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+        f" + 0.4 * least({stop} * 5.0, 1.0)"
+        f" + 0.2 * (1.0 - least({punct} * 10.0, 1.0)), 6) AS quality FROM documents"
+    )
+
+
+QUERY_FNS["t_quality"] = _t_quality_fn
+ORACLES["t_quality"] = _t_quality_duck()
+
+# ===========================================================================
+# D — deduplication
+# ===========================================================================
+def _d_exact_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(df)
+
+
+ORACLES["d_exact_dedup"] = (
+    f"SELECT md5({_NORM_DUCK.format(x='text')}) AS fp, MIN(doc_id) AS keep_id,"
+    " COUNT(*) AS n_copies FROM documents GROUP BY 1"
+)
+QUERY_FNS["d_exact_dedup"] = _d_exact_fn
+
+
+def _d_minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signatures
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(df, k=4)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        F.col("sig")[0].alias("h0"),
+        F.col("sig")[1].alias("h1"),
+        F.col("sig")[2].alias("h2"),
+        F.col("sig")[3].alias("h3"),
+    )
+
+
+def _shingles_duck(x: str = "text") -> str:
+    t = f"regexp_split_to_array({_NORM_DUCK.format(x=x)}, ' ')"
+    return (
+        f"(CASE WHEN len({t}) < 3 THEN [array_to_string({t}, ' ')]"
+        f" ELSE list_distinct([array_to_string(({t})[i:i+2], ' ')"
+        f" FOR i IN range(1, len({t}) - 1)]) END)"
+    )
+
+
+def _d_minhash_duck() -> str:
+    h = _H_DUCK.format(x="concat('{i}|', sh)")
+    mins = ", ".join(
+        f"MIN({h.replace('{i}', str(i))}) AS h{i}" for i in range(4)
+    )
+    return (
+        f"WITH sh AS (SELECT doc_id, unnest({_shingles_duck()}) AS sh FROM documents) "
+        f"SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
+    )
+
+
+QUERY_FNS["d_minhash_sig"] = _d_minhash_fn
+ORACLES["d_minhash_sig"] = _d_minhash_duck()
+
+
+def _d_jaccard_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(df, threshold=0.8).withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+
+
+ORACLES["d_ngram_jaccard"] = (
+    f"WITH sh AS (SELECT doc_id, unnest({_shingles_duck()}) AS sh FROM documents), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i"
+    " FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b,"
+    " ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard"
+    " FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id"
+    " WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8"
+)
+QUERY_FNS["d_ngram_jaccard"] = _d_jaccard_fn
+
+
+def _d_simhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select("doc_id", simhash(F.col("text"), bits=16).alias("sh"))
+
+
+def _d_simhash_duck(bits: int = 16) -> str:
+    toks = f"list_distinct(regexp_split_to_array({_NORM_DUCK.format(x='text')}, ' '))"
+    hashes = f"list_transform({toks}, t -> {_H_DUCK.format(x='t')})"
+    terms = []
+    for j in range(bits):
+        ones = f"len(list_filter(h, x -> (x >> {j}) & 1 = 1))"
+        terms.append(f"CASE WHEN 2 * {ones} - len(h) > 0 THEN {2**j} ELSE 0 END")
+    return (
+        f"WITH t AS (SELECT doc_id, {hashes} AS h FROM documents) "
+        f"SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS sh FROM t"
+    )
+
+
+QUERY_FNS["d_simhash"] = _d_simhash_fn
+ORACLES["d_simhash"] = _d_simhash_duck()
+
+# ===========================================================================
+# S — similarity search over embeddings
+# ===========================================================================
+def _s_topk_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = df.crossJoin(F.broadcast(q)).select(
+        "vec_id", F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+ORACLES["s_topk_cosine"] = (
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+    "SELECT vec_id, ROUND("
+    " list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) /"
+    " (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *"
+    "  sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 4) AS sim "
+    "FROM embeddings, q ORDER BY sim DESC, vec_id ASC LIMIT 10"
+)
+QUERY_FNS["s_topk_cosine"] = _s_topk_fn
+
+
+def _s_neardup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= 0.95)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+ORACLES["s_near_dup_cosine"] = (
+    "SELECT * FROM ("
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND("
+    " list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /"
+    " (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *"
+    "  sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS sim "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+    ") t WHERE sim >= 0.95"
+)
+QUERY_FNS["s_near_dup_cosine"] = _s_neardup_fn
+
+# ===========================================================================
+# M — multimodal plumbing (binary column feature extraction)
+# ===========================================================================
+_M1 = """SELECT doc_id, octet_length(text) AS n_bytes, md5(text) AS digest
+       FROM documents"""
+_M1_DUCK = """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+       FROM documents"""
+# M: opaque-binary feature extraction (byte length + digest) — the native
+# fast-path twin of the mapInPandas decode stub in operators/multimodal.py.
+_sql("m_binary_features", _M1, _M1_DUCK)
+
+# ===========================================================================
+# Rows-only queries (no SQL-expressible oracle; driver records row counts) —
+# the full extraction pipeline and the scale-path (recall<1) variants.
+# ===========================================================================
+def _pipeline_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.stages import extract_stage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    return extract_stage(pages)
+
+
+QUERY_FNS["pipeline_extract"] = _pipeline_fn
+
+
+def _pipeline_fields_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.stages import extract_stage, fields_long
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    return fields_long(extract_stage(pages))
+
+
+QUERY_FNS["pipeline_fields_long"] = _pipeline_fields_fn
+
+
+def _d_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_near_dups
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_near_dups(df, threshold=0.5)
+
+
+QUERY_FNS["d_minhash_lsh_near_dups"] = _d_lsh_fn
+
+
+def _s_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import topk_cosine_lsh
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = df.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    return topk_cosine_lsh(df, [float(x) for x in qv], k=10)
+
+
+QUERY_FNS["s_topk_cosine_lsh"] = _s_lsh_fn
+
+
+def _s_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_assign
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_assign(df, n_centroids=8).groupBy("centroid_id").count().withColumnRenamed("count", "n")
+
+
+QUERY_FNS["s_ivf_assign"] = _s_ivf_fn

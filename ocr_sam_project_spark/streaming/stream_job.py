@@ -1,0 +1,57 @@
+"""Structured Streaming variant of the extraction pipeline.
+
+The reference is an event-driven incremental pipeline (S3 event -> SQS ->
+Lambda, SURVEY.md §2.11); its streaming semantics map to:
+
+* SQS at-least-once + idempotent keyed writes  ->  Spark checkpointed
+  exactly-once file-sink (or foreachBatch MERGE at real scale)
+* per-message processing                        ->  micro-batch of Arrow batches
+* DLQ                                           ->  `error` column quarantine
+* DynamoDB state                                ->  streaming query checkpoint +
+                                                    the lineage table
+
+The same extract_stage powers batch and streaming — one code path, two
+execution modes (the core Structured Streaming promise).  Watermarks are not
+required (the reference has no event-time windows); `withWatermark` can bound
+state if windowed rollups are added downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..pipeline.schema import PAGES_SCHEMA
+from ..pipeline.stages import extract_stage
+
+
+def read_pages_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over a directory of pages parquet files — the
+    analog of new S3 objects arriving (document_processor/app.py:63-84)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def start_extraction_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    pages_per_doc: int = 1,
+) -> StreamingQuery:
+    """Continuous extraction: stream in pages, run the SAME extract_stage,
+    append to the extractions sink with exactly-once checkpointing."""
+    pages = read_pages_stream(spark, input_dir)
+    extracted = extract_stage(pages, pages_per_doc)
+    return (
+        extracted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
