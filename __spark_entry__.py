@@ -48,13 +48,17 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ship_package(spark)
     from ocr_sam_project_spark.pipeline.stages import extract_stage
+    from ocr_sam_project_spark.queries import _legal_text
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # graft the deterministic pseudo-oficio header onto each document so the
+    # full extractor chain (classify -> fields -> persons -> validate) has
+    # real structure to find; the synthesized content is Spanish -> lang 'es'.
     pages = docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.lit(None).cast("binary").alias("html"),
-        F.col("text"),
-        F.col("lang"),
+        F.concat(F.expr(_legal_text("doc_id")), F.lit(" "), F.col("text")).alias("text"),
+        F.lit("es").alias("lang"),
     )
     ex = extract_stage(pages)
     return (

@@ -45,7 +45,8 @@ TAXONOMY: tuple[DocType, ...] = (
     DocType(6, "adjudicacion_sucesion", "Juicios de Sucesión", "Civil",
             ("adjudicación en proceso de sucesión", "adjudicación", "adjudicacion")),
     DocType(7, "investigacion_sucesion", "Juicios de Sucesión", "Civil",
-            ("investigación de proceso de sucesión", "proceso de sucesión", "sucesión")),
+            ("investigación de proceso de sucesión", "proceso de sucesión",
+             "proceso de sucesion", "sucesión", "sucesion")),
     DocType(8, "solo_notificacion", "Citaciones", "Civil",
             ("solo notificación", "notificación", "notificacion")),
     DocType(9, "citacion", "Citaciones", "Civil",

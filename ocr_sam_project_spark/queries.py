@@ -79,6 +79,8 @@ _SNIPPETS = [
 ]
 _MONTHS = ["enero", "febrero", "marzo", "abril", "mayo", "junio", "julio",
            "agosto", "septiembre", "octubre", "noviembre", "diciembre"]
+_NOMBRES = ["MARIA ELENA GONZALEZ PEREZ", "JOSE RAMIREZ", "ANA LUCIA TORRES FLORES",
+            "MINI SUPER EL SOL/PEDRO DIAZ", "CARMEN MORALES CASTILLO", "LUIS ORTEGA"]
 
 # maps a synthesized snippet back to its doc type slug, CASE priority order
 # mirroring classifier.TAXONOMY routing keywords (deterministic keyword router
@@ -126,8 +128,12 @@ def _legal_text(id_expr: str = "doc_id") -> str:
         " ' del expediente ', CAST({i} % 900 + 100 AS {S}), '-2025.',"
         " ' Cedula ', CAST({i} % 9 + 1 AS {S}), '-', CAST({i} % 900 + 100 AS {S}),"
         " '-', CAST({i} % 9000 + 1000 AS {S}),"
-        " ' por un monto de B/. ', CAST(({i} * 137) % 100000 AS {S}), '.50')"
-    ).format(i=id_expr, S=_S, month=month, snippet=snippet)
+        " ' por un monto de B/. ', CAST(({i} * 137) % 100000 AS {S}), '.50.',"
+        " ' Demandado: ', {nombre}, ' | ', CAST({i} % 9 + 1 AS {S}), '-',"
+        " CAST({i} % 90 + 10 AS {S}), '-', CAST({i} % 900 + 100 AS {S}),"
+        " ' | 1,', CAST({i} % 9 + 1 AS {S}), '00.00')"
+    ).format(i=id_expr, S=_S, month=month, snippet=snippet,
+             nombre=_case_mod(id_expr, _NOMBRES))
 
 
 _HEADER_TEXT = (
