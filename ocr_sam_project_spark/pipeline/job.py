@@ -20,9 +20,19 @@ Scale design (SURVEY.md §4; graded against the 100 TB target):
 
 from __future__ import annotations
 
+import os
 import time
 from datetime import datetime, timezone
 from typing import Optional
+
+_TIMING = os.environ.get("SPARK_GRAFT_TIMING") == "1"
+
+
+def _mark(label: str, t0: float) -> float:
+    now = time.monotonic()
+    if _TIMING:
+        print(f"[job-timing] {label}: {now - t0:.2f}s", flush=True)
+    return now
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +41,40 @@ from .schema import LINEAGE_SCHEMA, METRICS_SCHEMA
 from .stages import extract_stage
 
 DEFAULT_NUM_PARTS = 32
+
+_MIN_SPLIT = 64 << 10        # 64 KiB — bench corpora compress hard; a floor
+                             # above the compressed row-group size would cap
+                             # the map stage below the core count
+_MAX_SPLIT = 128 << 20       # Spark default
+
+
+def _tune_split_size(
+    spark: SparkSession, pages_path: str, target_parallelism: Optional[int] = None
+) -> None:
+    """Size input splits to the cluster so the map-only extraction stage
+    actually fans out.  With Spark's default 128 MB maxPartitionBytes a
+    small-corpus bench collapses to 1 task and cannot scale; at 100 TB the
+    computed value caps back at the 128 MB default, so this is a no-op on a
+    real cluster (where file count >> cores) and only matters at bench scale.
+    Local paths only; silently keeps defaults elsewhere."""
+    import os
+
+    try:
+        total = 0
+        if os.path.isdir(pages_path):
+            for root, _dirs, files in os.walk(pages_path):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        elif os.path.isfile(pages_path):
+            total = os.path.getsize(pages_path)
+        else:
+            return
+        cores = target_parallelism or spark.sparkContext.defaultParallelism
+        # ~3 waves of tasks per core for balance.  target_parallelism lets a
+        # scaling comparison pin IDENTICAL splits at every cluster size.
+        split = max(_MIN_SPLIT, min(_MAX_SPLIT, total // max(1, cores * 3)))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    except Exception:
+        pass
 
 
 def with_part_id(pages: DataFrame, num_parts: int = DEFAULT_NUM_PARTS) -> DataFrame:
@@ -63,6 +107,7 @@ def run_extraction_job(
     num_parts: int = DEFAULT_NUM_PARTS,
     pages_per_doc: int = 1,
     only_parts: Optional[list[int]] = None,
+    split_parallelism: Optional[int] = None,
 ) -> dict:
     """Run (or resume) the extraction pipeline.
 
@@ -81,6 +126,7 @@ def run_extraction_job(
     metrics_path = f"{out_dir}/metrics"
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    _tune_split_size(spark, pages_path, split_parallelism)
 
     pages = with_part_id(spark.read.parquet(pages_path), num_parts)
 
@@ -90,7 +136,9 @@ def run_extraction_job(
         todo = todo.filter(F.col("part_id").isin(only_parts))
 
     t0 = time.monotonic()
+    tm = t0
     docs_in = todo.count()
+    tm = _mark("count", tm)
     if docs_in == 0:
         return {"run_id": run_id, "docs_in": 0, "segments_out": 0, "errors": 0,
                 "skipped_parts": sorted(done), "elapsed_sec": 0.0}
@@ -101,18 +149,27 @@ def run_extraction_job(
         "part_id", F.pmod(F.xxhash64(F.col("url")), F.lit(num_parts)).cast("int")
     )
 
+    # One explicit shuffle of the EXTRACTED rows (boilerplate already
+    # stripped — far smaller than the input html) clusters each lineage
+    # partition into a single output file.  Without it, every map task
+    # writes a file into every partition dir: M x P tiny files, and the
+    # file-commit + later scans dominate wall-clock (measured 44s write /
+    # 31s read-back vs 7s/0.4s at bench scale).
     (
-        extracted.write.mode("overwrite")
+        extracted.repartition(num_parts, F.col("part_id"))
+        .write.mode("overwrite")
         .partitionBy("part_id")
         .parquet(extractions_path)
     )
     elapsed = time.monotonic() - t0
+    tm = _mark("extract+write", tm)
 
     # lineage rollup from the *written* table (cheap column-pruned scan) —
     # set-based counters, not per-row RMW (A3/K5, crm_integrator/app.py:785-807).
     written = spark.read.parquet(extractions_path)
     todo_parts = [r.part_id for r in todo.select("part_id").distinct().collect()]
-    stats = (
+    tm = _mark("todo_parts", tm)
+    stats_rows = (
         written.filter(F.col("part_id").isin(todo_parts))
         .groupBy("part_id")
         .agg(
@@ -120,19 +177,20 @@ def run_extraction_job(
             F.count("*").alias("segments_out"),
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
         )
-        .withColumn("status", F.lit("completed"))
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("updated_at", F.lit(run_ts))
-        .select([f.name for f in LINEAGE_SCHEMA.fields])
+        .collect()
+    )
+    tm = _mark("stats", tm)
+    stats = spark.createDataFrame(
+        [
+            (r.part_id, "completed", r.docs_in, r.segments_out, r.errors, run_id, run_ts)
+            for r in stats_rows
+        ],
+        schema=LINEAGE_SCHEMA,
     )
     stats.write.mode("append").parquet(lineage_path)
 
-    seg_out = written.filter(F.col("part_id").isin(todo_parts)).count()
-    err_out = (
-        written.filter(F.col("part_id").isin(todo_parts))
-        .filter(F.col("error").isNotNull())
-        .count()
-    )
+    seg_out = sum(r.segments_out for r in stats_rows)
+    err_out = sum(r.errors for r in stats_rows)
     metrics = spark.createDataFrame(
         [
             (run_id, "docs_in", float(docs_in), run_ts),
@@ -144,6 +202,7 @@ def run_extraction_job(
         schema=METRICS_SCHEMA,
     )
     metrics.write.mode("append").parquet(metrics_path)
+    _mark("metrics+lineage-write", tm)
 
     return {
         "run_id": run_id,

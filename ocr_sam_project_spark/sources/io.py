@@ -35,7 +35,9 @@ GOLDEN_ARROW_SCHEMA = pa.schema(
 )
 
 
-def write_pages_parquet(path: str, n: int, seed: int = 42, row_group_size: int = 2000) -> str:
+def write_pages_parquet(path: str, n: int, seed: int = 42, row_group_size: int = 256) -> str:
+    # small row groups: Spark can't split a file below row-group granularity,
+    # and the scaling bench needs >= cores splits from one file.
     """Generate n synthetic pages and write one parquet file at `path`."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     rows = pages_rows(n, seed)
