@@ -137,11 +137,6 @@ def run_extraction_job(
 
     t0 = time.monotonic()
     tm = t0
-    docs_in = todo.count()
-    tm = _mark("count", tm)
-    if docs_in == 0:
-        return {"run_id": run_id, "docs_in": 0, "segments_out": 0, "errors": 0,
-                "skipped_parts": sorted(done), "elapsed_sec": 0.0}
 
     # part_id is a pure function of url, so it is recomputed after the Arrow
     # stage instead of being dragged through it (narrower Arrow batches).
@@ -164,13 +159,19 @@ def run_extraction_job(
     elapsed = time.monotonic() - t0
     tm = _mark("extract+write", tm)
 
-    # lineage rollup from the *written* table (cheap column-pruned scan) —
-    # set-based counters, not per-row RMW (A3/K5, crm_integrator/app.py:785-807).
+    # lineage rollup from the *written* table (cheap column-pruned scan of
+    # the much smaller output — the input is never re-scanned) — set-based
+    # counters, not per-row RMW (A3/K5, crm_integrator/app.py:785-807).
+    # This run's partitions are exactly: written parts minus already-done
+    # parts, intersected with only_parts when restricted.
     written = spark.read.parquet(extractions_path)
-    todo_parts = [r.part_id for r in todo.select("part_id").distinct().collect()]
-    tm = _mark("todo_parts", tm)
+    this_run = written
+    if done:
+        this_run = this_run.filter(~F.col("part_id").isin(list(done)))
+    if only_parts is not None:
+        this_run = this_run.filter(F.col("part_id").isin(only_parts))
     stats_rows = (
-        written.filter(F.col("part_id").isin(todo_parts))
+        this_run
         .groupBy("part_id")
         .agg(
             F.countDistinct("url").alias("docs_in"),
@@ -180,6 +181,10 @@ def run_extraction_job(
         .collect()
     )
     tm = _mark("stats", tm)
+    docs_in = int(sum(r.docs_in for r in stats_rows))
+    if not stats_rows:
+        return {"run_id": run_id, "docs_in": 0, "segments_out": 0, "errors": 0,
+                "skipped_parts": sorted(done), "elapsed_sec": 0.0}
     stats = spark.createDataFrame(
         [
             (r.part_id, "completed", r.docs_in, r.segments_out, r.errors, run_id, run_ts)
