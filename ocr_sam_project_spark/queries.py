@@ -540,6 +540,34 @@ def _n12(spark: bool) -> str:
 # N12: extract_numbers (utils.py:81-85).
 _sql("n12_extract_numbers", _n12(True), _n12(False))
 
+
+def _n2(spark: bool) -> str:
+    # reference order kept: collapse whitespace FIRST, then drop special
+    # chars (utils.py:67-79 — the non-idempotence quirk).
+    flags = "" if spark else ", 'g'"
+    e = (lambda s: s.replace("\\", "\\\\")) if spark else (lambda s: s)
+    return (
+        "SELECT doc_id, trim(regexp_replace(regexp_replace(concat(text, ' @#$ tail'),"
+        f" '{e(chr(92) + 's+')}', ' '{flags}), '{e('[^' + chr(92) + 'w' + chr(92) + 's.,;:!?()-]')}', ''{flags})) AS cleaned"
+        " FROM documents"
+    )
+
+
+# N2: clean_text as native columns (utils.py:67-79).
+_sql("n2_clean_text", _n2(True), _n2(False))
+
+_FCOUNT = """WITH d AS (SELECT doc_id, doc_id % 9 + 1 AS declared,
+              GREATEST(0, doc_id % 9 + 1 + (doc_id % 7) - 3) AS extracted FROM documents)
+       SELECT doc_id, declared, extracted,
+              CASE WHEN extracted = 0 THEN false
+                   WHEN declared = 0 THEN true
+                   WHEN extracted = declared THEN true
+                   WHEN abs(extracted - declared) <= greatest(1, CAST(floor(declared * 0.1) AS INT)) THEN true
+                   ELSE false END AS valid
+       FROM d"""
+# split-count vs declared-count ±10%-or-1 tolerance (validators.py:49-91).
+_sql("f_count_tolerance", _FCOUNT, _FCOUNT)
+
 # ===========================================================================
 # T — text analysis (training-data ops) over documents.text
 # ===========================================================================
