@@ -104,17 +104,26 @@ def ngram_jaccard_pairs(
 
 # --------------------------------------------------------------------------
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = N_HASHES
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = N_HASHES,
+    fast: bool = False,
 ) -> DataFrame:
     """k-permutation MinHash via salted hashes: sig_i = min over shingles of
-    hash64(i || '|' || shingle).  Returns (id, sig array<bigint>)."""
+    hash_i(shingle).  Returns (id, sig array<bigint>).
+
+    fast=False uses the portable md5 hash64 (exact DuckDB oracle twin);
+    fast=True uses native salted xxhash64 (~10x cheaper, same statistical
+    properties) — the production path, used by the LSH pipeline."""
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col))).alias("sh")
     )
-    aggs = [
-        F.min(hash64(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
-        for i in range(k)
-    ]
+    if fast:
+        hashes = [F.xxhash64(F.lit(i), F.col("sh")) for i in range(k)]
+    else:
+        hashes = [hash64(F.concat(F.lit(f"{i}|"), F.col("sh"))) for i in range(k)]
+    aggs = [F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)]
     sig = sh.groupBy("id").agg(*aggs)
     return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
 
@@ -132,7 +141,7 @@ def minhash_lsh_candidates(
     are dropped (degenerate shingle guard — at web scale one boilerplate
     string otherwise creates an O(n^2) bucket)."""
     r = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k)
+    sig = minhash_signatures(df, text_col, id_col, k, fast=True)
     banded = sig.select(
         "id",
         F.explode(
