@@ -196,6 +196,34 @@ _A2 = """SELECT o_custkey AS batch_id,
 # (tracking_service.py:93-147) — conditional hash-agg.
 _sql("a2_status_rollup", _A2, _A2)
 
+# Classic pricing-summary / shipping-priority shapes (the canonical OLAP
+# agg + join-agg-topk patterns, over the TPC-H-ish tables).  DECIMAL
+# accumulate -> DOUBLE for exact cross-engine parity.
+_Q1 = """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+       GROUP BY l_returnflag, l_linestatus"""
+_sql("q1_pricing_summary", _Q1, _Q1)
+
+_Q3 = """SELECT o.o_orderkey,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+              CAST(o.o_orderdate AS DATE) AS o_orderdate
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+         AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+       GROUP BY o.o_orderkey, o.o_orderdate
+       ORDER BY revenue DESC, o.o_orderkey ASC
+       LIMIT 10"""
+_sql("q3_shipping_priority", _Q3, _Q3)
+
 _A4 = """SELECT event_type,
               COUNT(*) AS n,
               ROUND(AVG(CASE WHEN value > 100 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS success_rate
