@@ -815,6 +815,11 @@ QUERY_FNS["s_topk_cosine"] = _s_topk_fn
 
 
 def _s_neardup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise cosine, top-20 most-similar pairs.  (The synthetic
+    embeddings have max pairwise cosine ~0.51, so a fixed near-dup threshold
+    would verify only the empty set; top-k keeps the oracle check dense.
+    The thresholded scale path is operators.similarity.near_dup_cosine,
+    benched via the LSH queries.)"""
     from .operators.similarity import cosine
 
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -822,20 +827,19 @@ def _s_neardup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
-        .filter(F.col("sim") >= 0.95)
-        .select("id_a", "id_b", "sim")
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
     )
 
 
 ORACLES["s_near_dup_cosine"] = (
-    "SELECT * FROM ("
     "SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND("
     " list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /"
     " (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *"
     "  sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS sim "
-    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
-    ") t WHERE sim >= 0.95"
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "ORDER BY sim DESC, id_a ASC, id_b ASC LIMIT 20"
 )
 QUERY_FNS["s_near_dup_cosine"] = _s_neardup_fn
 
@@ -854,17 +858,23 @@ _sql("m_binary_features", _M1, _M1_DUCK)
 # Rows-only queries (no SQL-expressible oracle; driver records row counts) —
 # the full extraction pipeline and the scale-path (recall<1) variants.
 # ===========================================================================
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pages shape with the deterministic pseudo-oficio header
+    grafted on (same enrichment as __spark_entry__.entry), so the full
+    extractor chain has real structure to find."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("binary").alias("html"),
+        F.concat(F.expr(_legal_text("doc_id")), F.lit(" "), F.col("text")).alias("text"),
+        F.lit("es").alias("lang"),
+    )
+
+
 def _pipeline_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.stages import extract_stage
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pages = docs.select(
-        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
-        F.lit(None).cast("binary").alias("html"),
-        F.col("text"),
-        F.col("lang"),
-    )
-    return extract_stage(pages)
+    return extract_stage(_docs_as_pages(spark, sf_dir))
 
 
 QUERY_FNS["pipeline_extract"] = _pipeline_fn
@@ -873,17 +883,19 @@ QUERY_FNS["pipeline_extract"] = _pipeline_fn
 def _pipeline_fields_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.stages import extract_stage, fields_long
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pages = docs.select(
-        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
-        F.lit(None).cast("binary").alias("html"),
-        F.col("text"),
-        F.col("lang"),
-    )
-    return fields_long(extract_stage(pages))
+    return fields_long(extract_stage(_docs_as_pages(spark, sf_dir)))
 
 
 QUERY_FNS["pipeline_fields_long"] = _pipeline_fields_fn
+
+
+def _pipeline_entities_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.stages import entities_long, extract_stage
+
+    return entities_long(extract_stage(_docs_as_pages(spark, sf_dir)))
+
+
+QUERY_FNS["pipeline_entities_long"] = _pipeline_entities_fn
 
 
 def _d_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
