@@ -898,6 +898,26 @@ def _pipeline_entities_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERY_FNS["pipeline_entities_long"] = _pipeline_entities_fn
 
 
+def _pipeline_cases_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.crm import cases_projection
+    from .pipeline.stages import extract_stage
+
+    return cases_projection(extract_stage(_docs_as_pages(spark, sf_dir)))
+
+
+QUERY_FNS["pipeline_cases"] = _pipeline_cases_fn
+
+
+def _pipeline_case_entities_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.crm import case_entities_projection
+    from .pipeline.stages import extract_stage
+
+    return case_entities_projection(extract_stage(_docs_as_pages(spark, sf_dir)))
+
+
+QUERY_FNS["pipeline_case_entities"] = _pipeline_case_entities_fn
+
+
 def _d_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_near_dups
 
