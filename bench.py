@@ -35,6 +35,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # benched queries: one per operator family (full list runs in pytest parity)
 BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
     "a1_monto_total",
     "a2_status_rollup",
     "w1_secuencia",

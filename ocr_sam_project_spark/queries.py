@@ -584,6 +584,41 @@ def _n2(spark: bool) -> str:
 # N2: clean_text as native columns (utils.py:67-79).
 _sql("n2_clean_text", _n2(True), _n2(False))
 
+
+def _n10(spark: bool) -> str:
+    e = (lambda s: s.replace("\\", "\\\\")) if spark else (lambda s: s)
+    # synthesize currency-bearing strings from events, then N10 first-match
+    # chain ($ / pesos / usd) with stripped-passthrough fallback
+    t = ("concat(CASE WHEN event_id % 3 = 0 THEN concat('pague $', CAST(event_id % 999 AS {S}), ',500.25 hoy')"
+         " WHEN event_id % 3 = 1 THEN concat('monto ', CAST(event_id % 999 AS {S}), ' pesos netos')"
+         " ELSE ' sin moneda aqui ' END)").format(S=_S)
+    pat_dollar = e("\\$[\\d,]+\\.?\\d*")
+    pat_pesos = e("[\\d,]+\\.?\\d*\\s*pesos")
+    return (
+        f"WITH d AS (SELECT event_id, {t} AS t FROM events) "
+        f"SELECT event_id,"
+        f" coalesce(nullif(regexp_extract(t, '{pat_dollar}', 0), ''),"
+        f"          nullif(regexp_extract(t, '(?i){pat_pesos}', 0), ''),"
+        f"          trim(t)) AS currency FROM d"
+    )
+
+
+# N10: extract_currency first-match chain (utils.py:113-131).
+_sql("n10_extract_currency", _n10(True), _n10(False))
+
+_F2 = """WITH p AS (SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN 'SEPARADOR DE OFICIOS ====='
+                   WHEN doc_id % 5 = 1 THEN concat('pagina con contenido real ', repeat('x ', 120))
+                   WHEN doc_id % 5 = 2 THEN '--- divisor ---'
+                   ELSE 'texto normal de un oficio cualquiera' END AS page FROM documents)
+       SELECT doc_id,
+              (length(page) < 200 AND (contains(lower(page), 'separador de oficios')
+                OR contains(lower(page), 'separador') OR contains(lower(page), 'divisor')
+                OR contains(lower(page), '---') OR contains(lower(page), '==='))) AS is_separator
+       FROM p"""
+# F2: separator-page predicate (pdf_service.py:69-104: marker AND len<200).
+_sql("f2_separator_predicate", _F2, _F2)
+
 _FCOUNT = """WITH d AS (SELECT doc_id, doc_id % 9 + 1 AS declared,
               GREATEST(0, doc_id % 9 + 1 + (doc_id % 7) - 3) AS extracted FROM documents)
        SELECT doc_id, declared, extracted,

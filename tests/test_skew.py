@@ -1,0 +1,36 @@
+"""Skew handling: url-hash salting must spread Zipfian domains uniformly
+(SURVEY.md §4 item 1 — the explicit skew strategy the north_rule requires)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_sam_project_spark.pipeline.job import with_part_id
+
+
+def test_domains_are_zipfian_but_parts_are_uniform(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    n = pages.count()
+
+    # the raw domain distribution IS skewed (generator plants hot domains) —
+    # partitioning by domain would melt one executor
+    dom = pages.withColumn("domain", F.regexp_extract("url", r"https://([^/]+)/", 1))
+    top_share = (
+        dom.groupBy("domain").count().orderBy(F.col("count").desc()).first()["count"] / n
+    )
+    assert top_share > 0.15, f"generator should produce hot domains, top={top_share}"
+
+    # url-hash salting spreads those same rows uniformly across part_ids
+    parts = with_part_id(pages, 8).groupBy("part_id").count().collect()
+    counts = [r["count"] for r in parts]
+    assert len(counts) == 8
+    mean = n / 8
+    assert max(counts) / mean < 1.4, f"salted partitions skewed: {sorted(counts)}"
+    assert min(counts) / mean > 0.6, f"salted partitions skewed: {sorted(counts)}"
+
+
+def test_hot_domain_rows_spread_across_all_parts(spark, pages_parquet):
+    pages = with_part_id(spark.read.parquet(pages_parquet), 8)
+    hot = pages.filter(F.col("url").contains("organojudicial.gob.pa"))
+    n_parts_hit = hot.select("part_id").distinct().count()
+    assert n_parts_hit == 8, "hot domain must land on every partition"
