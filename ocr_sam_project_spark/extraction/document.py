@@ -19,6 +19,7 @@ from typing import Any, Optional
 
 from . import boilerplate, classifier, extractors, segmentation
 from .normalizers import parse_date_es
+from .validators import validate_count
 
 PDF_MAGIC = b"%PDF"
 MIN_HTML_BYTES = 16          # validators.py:19-20 analog (1KB-50MB envelope,
@@ -37,44 +38,62 @@ def extract_document(
     Returns a list of flat dicts matching pipeline.schema.EXTRACTION_SCHEMA.
     """
     try:
-        segments = _segment(html_bytes, text, pages_per_doc)
+        segments, declared = _segment(html_bytes, text, pages_per_doc)
     except Exception as e:  # defensive: quarantine, never throw in executor
         return [_error_record(url, lang, f"segmentation_error: {e}")]
 
     if not segments:
         return [_error_record(url, lang, "empty_document")]
 
+    # declared-count validation (±10%-or-1 tolerance, validators.py:49-91;
+    # driver step §3.1-6): stamped on every segment of the upload.
+    count_valid = validate_count(len(segments), declared).success
+
     out: list[dict[str, Any]] = []
     for seg_no, seg_text in segments:
         try:
-            out.append(_extract_segment(url, seg_no, seg_text, lang))
+            rec = _extract_segment(url, seg_no, seg_text, lang)
         except Exception as e:
             rec = _error_record(url, lang, f"extraction_error: {e}")
             rec["seg_no"] = seg_no
-            out.append(rec)
+        rec["declared_count"] = declared
+        rec["count_valid"] = bool(count_valid)
+        out.append(rec)
     return out
 
 
 def _segment(
     html_bytes: Optional[bytes], text: Optional[str], pages_per_doc: int
-) -> list[tuple[int, str]]:
-    """Choose the PDF-text split path or the HTML boilerplate path."""
+) -> tuple[list[tuple[int, str]], int]:
+    """Choose the PDF-text split path or the HTML boilerplate path.
+    Returns (segments, declared_count) — declared_count comes from the X5
+    config-page metadata on the multi-document path, 0 elsewhere
+    (0 = auto-process, validators.py:63-68)."""
     if html_bytes is not None and len(html_bytes) >= MIN_HTML_BYTES:
         if len(html_bytes) > MAX_HTML_BYTES:
             raise ValueError("document exceeds size envelope")
         if html_bytes.startswith(PDF_MAGIC):
             # PDF path: the text layer carries \f-separated pages (E1-E4).
             segs = segmentation.segment_document(text or "", pages_per_doc)
-            return [(s.seg_no, s.text) for s in segs if s.text]
+            return [(s.seg_no, s.text) for s in segs if s.text], _declared(text or "")
         html = boilerplate.decode_html(html_bytes)
         if "<" in html:
             main = boilerplate.extract_main_text(html)
-            return [(1, main)] if main else []
+            return ([(1, main)] if main else []), 0
     # no usable html column: fall back to raw text (single segment)
     if text and text.strip():
         segs = segmentation.segment_document(text, pages_per_doc)
-        return [(s.seg_no, s.text) for s in segs if s.text]
-    return []
+        return [(s.seg_no, s.text) for s in segs if s.text], _declared(text)
+    return [], 0
+
+
+def _declared(raw_text: str) -> int:
+    """cantidad_oficios from the config page (X5), if one exists."""
+    pages = segmentation.split_pages(raw_text)
+    if not segmentation.has_config_page(pages):
+        return 0
+    meta = extractors.extract_metadata(pages[0])
+    return int(meta.get("cantidad_oficios_declarada", 0))
 
 
 def _extract_segment(url: str, seg_no: int, seg_text: str, lang: Optional[str]) -> dict[str, Any]:
@@ -150,5 +169,7 @@ def _error_record(url: str, lang: Optional[str], error: str) -> dict[str, Any]:
         "confianza": "baja",
         "priority": "Medium",
         "urgente": False,
+        "declared_count": 0,
+        "count_valid": False,
         "error": error,
     }

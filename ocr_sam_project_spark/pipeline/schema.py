@@ -78,6 +78,10 @@ EXTRACTION_SCHEMA = StructType(
         StructField("confianza", StringType(), True),
         StructField("priority", StringType(), True),
         StructField("urgente", BooleanType(), True),
+        # declared-count validation (validators.py:49-91): cantidad_oficios
+        # from the config page vs actual segment count, ±10%-or-1 tolerance
+        StructField("declared_count", IntegerType(), True),
+        StructField("count_valid", BooleanType(), True),
         StructField("error", StringType(), True),
     ]
 )

@@ -82,6 +82,8 @@ def extract_stage(pages: DataFrame, pages_per_doc: int = 1) -> DataFrame:
             F.lit("baja").alias("confianza"),
             F.lit("Medium").alias("priority"),
             F.lit(False).alias("urgente"),
+            F.lit(0).alias("declared_count"),
+            F.lit(False).alias("count_valid"),
             F.lit("empty_document").alias("error"),
         )
     )

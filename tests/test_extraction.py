@@ -296,6 +296,27 @@ def test_extract_document_pdf_path_splits():
     assert recs[1]["doc_type"] == "citacion"
 
 
+def test_extract_document_declared_count_validation():
+    # declared 2, extracted 2 -> valid
+    pages = [
+        "empresa: ACME\ncantidad_oficios: 2",
+        "Oficio No. JE-1-2025 embargo",
+        "SEPARADOR DE OFICIOS",
+        "Oficio No. JE-2-2025 citación",
+    ]
+    recs = extract_document("u", b"%PDF-1.4 x", "\f".join(pages), "es")
+    assert all(r["declared_count"] == 2 and r["count_valid"] for r in recs)
+
+    # declared 9, extracted 2 -> outside ±10%-or-1 tolerance
+    pages[0] = "empresa: ACME\ncantidad_oficios: 9"
+    recs = extract_document("u", b"%PDF-1.4 x", "\f".join(pages), "es")
+    assert all(r["declared_count"] == 9 and not r["count_valid"] for r in recs)
+
+    # no config page -> declared 0 -> auto-process passes
+    recs = extract_document("u", b"%PDF-1.4 x", "doc uno\fSEPARADOR DE OFICIOS\fdoc dos", "es")
+    assert all(r["declared_count"] == 0 and r["count_valid"] for r in recs)
+
+
 def test_extract_document_quarantine():
     recs = extract_document("u3", b"", "", "es")
     assert len(recs) == 1 and recs[0]["error"] == "empty_document"
