@@ -619,6 +619,32 @@ _F2 = """WITH p AS (SELECT doc_id,
 # F2: separator-page predicate (pdf_service.py:69-104: marker AND len<200).
 _sql("f2_separator_predicate", _F2, _F2)
 
+
+def _x10(spark: bool) -> str:
+    # X10 multi-strategy response parse (ocr_service.py:504-661): coalesce of
+    # candidate JSON paths, re-expressed over the events.props JSON column.
+    get = (lambda p: f"get_json_object(props, '$.{p}')") if spark else (
+        lambda p: f"json_extract_string(props, '$.{p}')"
+    )
+    return (
+        "SELECT event_id,"
+        f" CAST(coalesce({get('k')}, {get('missing')}, '-1') AS BIGINT) AS k_value,"
+        f" ({get('k')} IS NOT NULL) AS parsed"
+        " FROM events"
+    )
+
+
+# X10: multi-strategy JSON parse with candidate-path coalesce.
+_sql("x10_json_extract", _x10(True), _x10(False))
+
+_W4 = """SELECT date_trunc('hour', ts) AS window_start, event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2"""
+# W4: tumbling event-time window aggregation (the Structured Streaming
+# windowed-agg shape, run in batch for the oracle check).
+_sql("w4_tumbling_window", _W4, _W4)
+
 _FCOUNT = """WITH d AS (SELECT doc_id, doc_id % 9 + 1 AS declared,
               GREATEST(0, doc_id % 9 + 1 + (doc_id % 7) - 3) AS extracted FROM documents)
        SELECT doc_id, declared, extracted,
