@@ -68,3 +68,28 @@ def test_dedup_exact_single_shuffle(spark):
     plan = _plan(exact_dedup(docs))
     # one hash-partitioned exchange on fp, nothing else
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: identically-bucketed tables join without a shuffle
+    (the repeated-join strategy for 100 TB fact tables)."""
+    from ocr_sam_project_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    # disable auto-broadcast so the test exercises the bucketing path, not BHJ
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders, "b_orders", "o_orderkey", buckets=8)
+        write_bucketed(lineitem, "b_lineitem", "o_orderkey", buckets=8)
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
