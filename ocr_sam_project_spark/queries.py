@@ -645,6 +645,39 @@ _W4 = """SELECT date_trunc('hour', ts) AS window_start, event_type,
 # windowed-agg shape, run in batch for the oracle check).
 _sql("w4_tumbling_window", _W4, _W4)
 
+
+def _asof_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, the value of the user's latest signup event
+    at-or-before it (point-in-time correctness — the feature-store shape)."""
+    from .operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    out = asof_join(purchases, signups, on="ts", by="user_id",
+                    value_cols=["signup_value"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("signup_value_asof").alias("signup_value"),
+    )
+
+
+ORACLES["j5_asof_join"] = (
+    "WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "
+    "signups AS (SELECT user_id, ts, MAX(value) AS signup_value FROM events"
+    " WHERE event_type = 'signup' GROUP BY user_id, ts) "
+    "SELECT p.event_id, p.user_id, s.signup_value "
+    "FROM purchases p ASOF LEFT JOIN signups s"
+    " ON p.user_id = s.user_id AND p.ts >= s.ts"
+)
+QUERY_FNS["j5_asof_join"] = _asof_fn
+
 _FCOUNT = """WITH d AS (SELECT doc_id, doc_id % 9 + 1 AS declared,
               GREATEST(0, doc_id % 9 + 1 + (doc_id % 7) - 3) AS extracted FROM documents)
        SELECT doc_id, declared, extracted,
