@@ -678,6 +678,50 @@ ORACLES["j5_asof_join"] = (
 )
 QUERY_FNS["j5_asof_join"] = _asof_fn
 
+
+def _w5(spark: bool) -> str:
+    epoch = "unix_timestamp(ts)" if spark else "epoch(ts)"
+    epoch_prev = "unix_timestamp(prev)" if spark else "epoch(prev)"
+    return (
+        "WITH e AS (SELECT event_id, user_id, ts,"
+        " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+        "flags AS (SELECT event_id, user_id, ts,"
+        f" CASE WHEN prev IS NULL OR {epoch} - {epoch_prev} > 1800 THEN 1 ELSE 0 END AS new_session FROM e) "
+        "SELECT event_id, user_id,"
+        " SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no"
+        " FROM flags"
+    )
+
+
+# W5: gap-based sessionization (30-min inactivity) — lag + running sum.
+_sql("w5_sessionize", _w5(True), _w5(False))
+
+
+def _a8(spark: bool) -> str:
+    if spark:
+        p50 = "percentile(value, 0.5)"
+        p95 = "percentile(value, 0.95)"
+    else:
+        p50 = "quantile_cont(value, 0.5)"
+        p95 = "quantile_cont(value, 0.95)"
+    return (
+        "SELECT event_type, ROUND({p50}, 6) AS p50, ROUND({p95}, 6) AS p95,"
+        " COUNT(*) AS n FROM events GROUP BY event_type"
+    ).format(p50=p50, p95=p95)
+
+
+# A8: exact interpolated percentiles (linear interpolation in both engines).
+_sql("a8_percentiles", _a8(True), _a8(False))
+
+_A9 = """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
+# A9: hierarchical ROLLUP aggregation (grouping-sets family).
+_sql("a9_rollup", _A9, _A9)
+
 _FCOUNT = """WITH d AS (SELECT doc_id, doc_id % 9 + 1 AS declared,
               GREATEST(0, doc_id % 9 + 1 + (doc_id % 7) - 3) AS extracted FROM documents)
        SELECT doc_id, declared, extracted,
