@@ -48,12 +48,6 @@ def _sql(name: str, spark_sql: str, duck_sql: str | None) -> None:
         ORACLES[name] = duck_sql
 
 
-def _df(name: str, fn: Callable[[SparkSession, str], DataFrame], duck_sql: str | None) -> None:
-    QUERY_FNS[name] = fn
-    if duck_sql is not None:
-        ORACLES[name] = duck_sql
-
-
 # ===========================================================================
 # shared synthesized legal text (identical SQL fragment in both dialects) —
 # turns the word-salad `documents` table into deterministic pseudo-oficios so
