@@ -53,9 +53,12 @@ def extract_stage(pages: DataFrame, pages_per_doc: int = 1) -> DataFrame:
     """
     slim = pages.select("url", "html", "text", "lang")
     # cheap native gate: rows with neither html payload nor text are
-    # quarantined without entering Python.
-    alive = (F.length(F.col("html")) > 0) | (
-        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    # quarantined without entering Python.  NULL-proof: with html=NULL and
+    # text=NULL a bare `length(html) > 0` predicate is SQL NULL, so BOTH
+    # filter(alive) and filter(~alive) would drop the row — coalesce to 0 so
+    # every row lands in exactly one branch (DLQ contract, SURVEY.md §2.11).
+    alive = (F.coalesce(F.length(F.col("html")), F.lit(0)) > 0) | (
+        F.coalesce(F.length(F.trim(F.col("text"))), F.lit(0)) > 0
     )
     live = slim.filter(alive)
     dead = (

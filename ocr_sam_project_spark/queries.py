@@ -33,9 +33,18 @@ QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+# view-registration memo: re-reading 10 parquet footers (file listing +
+# schema) per query call dominates small-query latency (the j1 anomaly in
+# BENCH_r01).  Keyed per-session; re-registers only when sf_dir changes.
+_LOADED: dict[int, str] = {}
+
+
 def _load(spark: SparkSession, sf_dir: str) -> None:
+    if _LOADED.get(id(spark)) == sf_dir:
+        return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    _LOADED[id(spark)] = sf_dir
 
 
 def _sql(name: str, spark_sql: str, duck_sql: str | None) -> None:
@@ -176,9 +185,9 @@ _sql(
 
 _A2 = """SELECT o_custkey AS batch_id,
               COUNT(*) AS total_jobs,
-              SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS completed,
-              SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS processing,
-              SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS errors,
+              CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS completed,
+              CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS processing,
+              CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
               CASE
                 WHEN SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = COUNT(*) THEN 'completed'
                 WHEN SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) > 0 THEN 'partial_completion'
@@ -682,8 +691,8 @@ def _w5(spark: bool) -> str:
         "flags AS (SELECT event_id, user_id, ts,"
         f" CASE WHEN prev IS NULL OR {epoch} - {epoch_prev} > 1800 THEN 1 ELSE 0 END AS new_session FROM e) "
         "SELECT event_id, user_id,"
-        " SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id"
-        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no"
+        " CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no"
         " FROM flags"
     )
 
@@ -1004,9 +1013,21 @@ def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipeline_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing registration: the array<struct> columns (fields,
+    personas) and array<string> palabras_clave are projected through
+    F.to_json — the driver's canonicalizer sorts pandas frames, and Python
+    lists are unhashable there.  Internal consumers use extract_stage's
+    full schema directly."""
     from .pipeline.stages import extract_stage
 
-    return extract_stage(_docs_as_pages(spark, sf_dir))
+    ext = extract_stage(_docs_as_pages(spark, sf_dir))
+    arrayish = {"fields", "personas", "palabras_clave"}
+    return ext.select(
+        *[
+            F.to_json(F.col(c)).alias(f"{c}_json") if c in arrayish else F.col(c)
+            for c in ext.columns
+        ]
+    )
 
 
 QUERY_FNS["pipeline_extract"] = _pipeline_fn
@@ -1031,10 +1052,14 @@ QUERY_FNS["pipeline_entities_long"] = _pipeline_entities_fn
 
 
 def _pipeline_cases_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # palabras_clave (array<string>) -> JSON string: canonicalizer-safe.
     from .pipeline.crm import cases_projection
     from .pipeline.stages import extract_stage
 
-    return cases_projection(extract_stage(_docs_as_pages(spark, sf_dir)))
+    cases = cases_projection(extract_stage(_docs_as_pages(spark, sf_dir)))
+    return cases.withColumn(
+        "palabras_clave", F.to_json(F.col("palabras_clave"))
+    ).withColumnRenamed("palabras_clave", "palabras_clave_json")
 
 
 QUERY_FNS["pipeline_cases"] = _pipeline_cases_fn

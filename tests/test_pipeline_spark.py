@@ -56,6 +56,28 @@ def test_quarantine_rows_carry_error(extractions):
     assert errs.filter(F.col("error") == "empty_document").count() > 0
 
 
+def test_quarantine_null_html_null_text_not_lost(spark):
+    """DLQ contract: a (NULL html, NULL text) row must land in the
+    empty_document quarantine branch, not vanish (a bare `length(html) > 0`
+    predicate is SQL NULL there, dropping the row from BOTH filter sides)."""
+    pages = spark.createDataFrame(
+        [
+            ("null://both", None, None, "es"),
+            ("null://html-only-empty", None, "   ", "es"),
+            ("ok://text", None, "texto util presente aqui", "es"),
+        ],
+        "url string, html binary, text string, lang string",
+    )
+    out = extract_stage(pages).cache()
+    assert out.select("url").distinct().count() == 3  # docs_in preserved
+    dead = {
+        r.url
+        for r in out.filter(F.col("error") == "empty_document").collect()
+    }
+    assert dead == {"null://both", "null://html-only-empty"}
+    out.unpersist()
+
+
 def test_doc_types_routed(extractions):
     types = {r.doc_type for r in extractions.select("doc_type").distinct().collect()}
     # all 16 types + unknown appear across 400 synthetic pages
