@@ -8,8 +8,9 @@ union + running-``last(ignorenulls)`` window trick:
   2. window per key ordered by (time, side) with right rows sorting FIRST on
      time ties (so an equal-time right row IS visible to the left row —
      DuckDB/kdb ASOF `>=` semantics),
-  3. running last(value, ignorenulls=True) carries the latest right payload
-     forward; filter back to left rows.
+  3. running last(payload-struct, ignorenulls=True) carries the latest right
+     ROW forward as one struct (so a matched row's NULL payload stays NULL
+     and multi-column payloads never mix rows); filter back to left rows.
 
 Scale: one shuffle on the key (same as any sort-merge join), no skew blowup
 beyond the key distribution — salt keys upstream if Zipfian.  The oracle
@@ -40,8 +41,14 @@ def asof_join(
     """
     lcols = left.columns
     tagged_l = left.withColumn("_side", F.lit(1))
+    # carry ONE struct per right row (not per-column last(ignorenulls)):
+    # a matched right row whose payload is genuinely NULL must be returned
+    # as NULL, not skipped over in favor of a stale older value — and with
+    # multiple value_cols all carried values must come from the SAME row.
     tagged_r = right.select(
-        by, on, *[F.col(c).alias(f"{c}{suffix}") for c in value_cols]
+        by,
+        on,
+        F.struct(*[F.col(c) for c in value_cols]).alias("_payload"),
     ).withColumn("_side", F.lit(0))
     u = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
 
@@ -53,13 +60,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
-        "*",
-        *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"_carry_{c}")
-            for c in value_cols
-        ],
+        "*", F.last(F.col("_payload"), ignorenulls=True).over(w).alias("_carry")
     )
     out = carried.filter(F.col("_side") == 1).select(
-        *lcols, *[F.col(f"_carry_{c}").alias(f"{c}{suffix}") for c in value_cols]
+        *lcols,
+        *[F.col(f"_carry.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
     return out

@@ -27,9 +27,19 @@ def salted_join(
     big gets a per-row salt in [0, salt_buckets); small is exploded
     salt_buckets times so every (key, salt) pair exists.  The join key
     becomes (key, salt) — hot keys fan out over salt_buckets reducers.
-    Cost: small side replicated R times (keep R modest); result equals the
-    plain join exactly.
+    Cost: small side replicated R times (keep R modest).
+
+    Only `how` in {'inner', 'left'} is accepted: those are exactly
+    equivalent to the plain join.  For right/full outer joins an unmatched
+    small-side row would be emitted once PER SALT BUCKET (duplicated
+    salt_buckets times), so they are rejected rather than silently wrong.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'), got {how!r}: "
+            "outer variants would duplicate unmatched small-side rows "
+            "salt_buckets times"
+        )
     salted_big = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast("int"),

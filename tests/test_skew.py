@@ -65,3 +65,15 @@ def test_salted_join_spreads_hot_key(spark):
     )
     assert salted_big.select("_salt").distinct().count() == 8
     assert out.count() == 2000  # k=1 matches the one dim row
+
+
+def test_salted_join_rejects_outer_variants(spark):
+    import pytest as _pytest
+
+    from ocr_sam_project_spark.operators.skew import salted_join
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError, match="inner"):
+        salted_join(df, df, key="k", how="right")
+    with _pytest.raises(ValueError, match="inner"):
+        salted_join(df, df, key="k", how="full")
