@@ -5,9 +5,10 @@ Mirrors the reference's entry point B (SURVEY.md §3.2) with the OCR black box
 replaced by deterministic parsing:
 
   sniff (PDF-text vs HTML) -> segment (E1-E4 / boilerplate strip) ->
-  classify (C1) -> extract fields+persons with spans (X1-X7) -> enrich (X8)
-  -> validate+score (X3) -> confidence (C4) -> priority/urgency (C2/C3)
-  -> monto_total (A1) -> keywords.
+  classify (C1) -> extract fields + BOTH person-source candidates with spans
+  (X1-X7) -> validate+score on primary (X3) -> confidence (C4) -> urgency
+  (C3) -> keywords.  The X8 enrichment merge, monto_total (A1), and priority
+  (C2) are native Spark expressions in pipeline.stages.enrich_stage.
 
 Never raises: unusable rows come back as a single segment with error set
 (the DLQ/quarantine analog, template.yaml:88-90 -> error column).
@@ -35,7 +36,7 @@ def extract_document(
 ) -> list[dict[str, Any]]:
     """One input page -> 1..N extracted segment records.
 
-    Returns a list of flat dicts matching pipeline.schema.EXTRACTION_SCHEMA.
+    Returns a list of flat dicts matching pipeline.schema.RAW_EXTRACTION_SCHEMA.
     """
     try:
         segments, declared = _segment(html_bytes, text, pages_per_doc)
@@ -99,25 +100,30 @@ def _declared(raw_text: str) -> int:
 def _extract_segment(url: str, seg_no: int, seg_text: str, lang: Optional[str]) -> dict[str, Any]:
     doc_type = classifier.classify(seg_text, lang)
     fields = extractors.extract_fields(seg_text)
-    persons = extractors.extract_persons(seg_text)
 
-    # X8 semantics: the row extractor *is* the primary person source here; the
-    # "expected but missing" warning survives as a validation signal.
+    # X8 inputs: primary = strict structured-table parse (the
+    # structured_data.lista_clientes analog); fallback = loose X7 text regex
+    # (post_ocr_validator.py:98-138).  The conditional injection itself is a
+    # native Spark stage (pipeline.stages.enrich_stage) — this function only
+    # emits both candidate lists plus the persons_expected signal.
+    persons_primary = extractors.extract_persons_structured(seg_text)
+    persons_fallback = extractors.extract_persons(seg_text)
     expected = extractors.should_have_persons(seg_text)
-    enrichment_warning = expected and not persons
 
     by_field = {r["field"]: r["value"] for r in reversed(fields)}  # first wins
     numero_oficio = by_field.get("numero_oficio")
     fecha_raw = by_field.get("date_es") or by_field.get("fecha_emision")
     fecha_iso = parse_date_es(fecha_raw) if fecha_raw else None
 
-    val = extractors.validate_extraction(numero_oficio, fecha_raw, persons)
+    # X3 scores the PRIMARY structured output, as the reference's OCR service
+    # scores its own structured_data (ocr_service.py:726-827) — enrichment
+    # later injects fallback persons without re-scoring.
+    val = extractors.validate_extraction(numero_oficio, fecha_raw, persons_primary)
     conf = classifier.confidence(
-        has_structured=bool(persons or fields),
+        has_structured=bool(persons_primary or fields),
         has_text=bool(seg_text),
         validation_score=val["confidence_score"] if (val["valid_count"] + val["invalid_count"]) else None,
     )
-    total = extractors.monto_total(persons)
     keywords = extractors.find_keywords(seg_text)
 
     return {
@@ -131,16 +137,14 @@ def _extract_segment(url: str, seg_no: int, seg_text: str, lang: Optional[str]) 
         "fecha": fecha_iso,
         "autoridad": by_field.get("autoridad"),
         "fields": fields,
-        "personas": persons,
-        "n_personas": len(persons),
-        "monto_total": total,
+        "personas_primary": persons_primary,
+        "personas_fallback": persons_fallback,
+        "observaciones": "",
         "palabras_clave": keywords,
         "validation_score": val["confidence_score"],
         "validation_passed": bool(val["validation_passed"]),
         "persons_expected": bool(expected),
-        "enrichment_warning": bool(enrichment_warning),
         "confianza": conf,
-        "priority": classifier.priority(doc_type.tipo, total),
         "urgente": classifier.requires_urgent_action(doc_type.tipo),
         "error": None,
     }
@@ -158,16 +162,14 @@ def _error_record(url: str, lang: Optional[str], error: str) -> dict[str, Any]:
         "fecha": None,
         "autoridad": None,
         "fields": [],
-        "personas": [],
-        "n_personas": 0,
-        "monto_total": 0.0,
+        "personas_primary": [],
+        "personas_fallback": [],
+        "observaciones": "",
         "palabras_clave": [],
         "validation_score": 0.0,
         "validation_passed": False,
         "persons_expected": False,
-        "enrichment_warning": False,
         "confianza": "baja",
-        "priority": "Medium",
         "urgente": False,
         "declared_count": 0,
         "count_valid": False,

@@ -80,6 +80,15 @@ def should_have_persons(text: str) -> bool:
     return any(pat.search(low) for pat in P.TABLE_INDICATORS)
 
 
+def extract_persons_structured(text: str) -> list[dict[str, Any]]:
+    """Primary person source: strict pipe-delimited table rows — the
+    deterministic stand-in for the reference's structured OCR output
+    (structured_data.lista_clientes, ocr_service.py:331-366).  X8's
+    conditional injection falls back to extract_persons (the loose X7
+    regex) only when this finds nothing but persons are expected."""
+    return _person_rows(P.PERSON_ROW_STRICT, text)
+
+
 def extract_persons(text: str) -> list[dict[str, Any]]:
     """X7 — table-row person extractor with spans + 1-based secuencia (W1).
 
@@ -87,8 +96,12 @@ def extract_persons(text: str) -> list[dict[str, Any]]:
     name | identification | amount rows; amount de-comma'd then floated
     (0.0 on failure).
     """
+    return _person_rows(P.PERSON_ROW, text)
+
+
+def _person_rows(pattern: Any, text: str) -> list[dict[str, Any]]:
     persons: list[dict[str, Any]] = []
-    for idx, m in enumerate(P.PERSON_ROW.finditer(text)):
+    for idx, m in enumerate(pattern.finditer(text)):
         nombre = m.group(1).strip()
         identificacion = m.group(2).strip()
         monto_str = m.group(3).strip().replace(",", "")

@@ -60,6 +60,17 @@ PERSON_ROW_SRC = (
 )
 PERSON_ROW: re.Pattern[str] = re.compile(PERSON_ROW_SRC, re.MULTILINE)
 
+# strict variant: pipes REQUIRED — the primary structured-table parse (the
+# analog of the OCR service's structured_data.lista_clientes rows, which the
+# reference extracts from well-formed `name | id | amount` table layouts,
+# ocr_service.py:331-366).  X8 injects the loose PERSON_ROW fallback only
+# when this primary parse finds nothing but the table indicators fire
+# (post_ocr_validator.py:178-218).
+PERSON_ROW_STRICT_SRC = (
+    r"([A-ZÁ-Ú][A-ZÁ-Ú\s\.,/]+)\s*\|\s*(\d+-\d+-\d+[^\|]*)\s*\|\s*([\d,]+\.?\d*)"
+)
+PERSON_ROW_STRICT: re.Pattern[str] = re.compile(PERSON_ROW_STRICT_SRC, re.MULTILINE)
+
 # --- basic-info fallback extractors (ocr_processor/app.py:555-573) ---------
 BASIC_OFICIO_SRC = r"(?:oficio|no\.?)\s*:?\s*([A-Za-z0-9\-]+)"
 BASIC_OFICIO: re.Pattern[str] = re.compile(BASIC_OFICIO_SRC, re.IGNORECASE)

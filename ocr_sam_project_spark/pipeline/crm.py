@@ -66,6 +66,9 @@ def cases_projection(extractions: DataFrame) -> DataFrame:
         F.substring(F.col("extracted_text"), 1, 4000).alias("texto_completo"),
         clamp_money(F.col("monto_total")).alias("monto_total"),
         F.col("n_personas").alias("personas_count"),
+        # X8 surface: carries the ADVERTENCIA fallback-injection warning
+        # (post_ocr_validator.py:162) into the case sink.
+        safe_string(F.col("observaciones"), max_length=500).alias("observaciones"),
         F.col("validation_score"),
         F.col("validation_passed"),
         F.col("palabras_clave"),

@@ -54,7 +54,41 @@ PERSONA_STRUCT = StructType(
     ]
 )
 
-# One row per extracted document segment (the `extractions` table).
+# Raw per-segment extraction as emitted by the Arrow (mapInPandas) stage:
+# TWO person sources (primary structured parse vs X7 loose-text fallback) —
+# X8's conditional injection merges them Spark-side (stages.enrich_stage),
+# mirroring post_ocr_validator.enrich_ocr_result (reference :140-218).
+RAW_EXTRACTION_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("seg_no", IntegerType(), False),
+        StructField("doc_type", StringType(), True),
+        StructField("tramite", StringType(), True),
+        StructField("departamento", StringType(), True),
+        StructField("extracted_text", StringType(), True),
+        StructField("numero_oficio", StringType(), True),
+        StructField("fecha", StringType(), True),
+        StructField("autoridad", StringType(), True),
+        StructField("fields", ArrayType(FIELD_STRUCT), True),
+        StructField("personas_primary", ArrayType(PERSONA_STRUCT), True),
+        StructField("personas_fallback", ArrayType(PERSONA_STRUCT), True),
+        StructField("observaciones", StringType(), True),
+        StructField("palabras_clave", ArrayType(StringType()), True),
+        StructField("validation_score", DoubleType(), True),
+        StructField("validation_passed", BooleanType(), True),
+        StructField("persons_expected", BooleanType(), True),
+        StructField("confianza", StringType(), True),
+        StructField("urgente", BooleanType(), True),
+        # declared-count validation (validators.py:49-91): cantidad_oficios
+        # from the config page vs actual segment count, ±10%-or-1 tolerance
+        StructField("declared_count", IntegerType(), True),
+        StructField("count_valid", BooleanType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+# One row per extracted document segment (the `extractions` table) —
+# post-enrichment: merged personas + recomputed rollups.
 EXTRACTION_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
@@ -71,6 +105,7 @@ EXTRACTION_SCHEMA = StructType(
         StructField("n_personas", IntegerType(), True),
         StructField("monto_total", DoubleType(), True),
         StructField("palabras_clave", ArrayType(StringType()), True),
+        StructField("observaciones", StringType(), True),
         StructField("validation_score", DoubleType(), True),
         StructField("validation_passed", BooleanType(), True),
         StructField("persons_expected", BooleanType(), True),

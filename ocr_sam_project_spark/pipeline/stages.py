@@ -16,10 +16,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..extraction.classifier import PRIORITY_HIGH_AMOUNT
 from ..extraction.document import extract_document
-from .schema import EXTRACTION_SCHEMA
+from .schema import EXTRACTION_SCHEMA, RAW_EXTRACTION_SCHEMA
 
-_OUT_COLS = [f.name for f in EXTRACTION_SCHEMA.fields]
+_OUT_COLS = [f.name for f in RAW_EXTRACTION_SCHEMA.fields]
+
+# X8 warning text, verbatim from post_ocr_validator.py:162 (appended to
+# observaciones whenever fallback persons are injected).
+ENRICHMENT_WARNING_TEXT = (
+    "\nADVERTENCIA: Personas extraídas mediante fallback desde texto."
+    " Validar manualmente."
+)
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame], pages_per_doc: int) -> Iterator[pd.DataFrame]:
@@ -73,17 +81,15 @@ def extract_stage(pages: DataFrame, pages_per_doc: int = 1) -> DataFrame:
             F.lit(None).cast("string").alias("numero_oficio"),
             F.lit(None).cast("string").alias("fecha"),
             F.lit(None).cast("string").alias("autoridad"),
-            F.lit(None).cast(EXTRACTION_SCHEMA["fields"].dataType).alias("fields"),
-            F.lit(None).cast(EXTRACTION_SCHEMA["personas"].dataType).alias("personas"),
-            F.lit(0).alias("n_personas"),
-            F.lit(0.0).alias("monto_total"),
+            F.lit(None).cast(RAW_EXTRACTION_SCHEMA["fields"].dataType).alias("fields"),
+            F.lit(None).cast(RAW_EXTRACTION_SCHEMA["personas_primary"].dataType).alias("personas_primary"),
+            F.lit(None).cast(RAW_EXTRACTION_SCHEMA["personas_fallback"].dataType).alias("personas_fallback"),
+            F.lit("").alias("observaciones"),
             F.lit(None).cast("array<string>").alias("palabras_clave"),
             F.lit(0.0).alias("validation_score"),
             F.lit(False).alias("validation_passed"),
             F.lit(False).alias("persons_expected"),
-            F.lit(False).alias("enrichment_warning"),
             F.lit("baja").alias("confianza"),
-            F.lit("Medium").alias("priority"),
             F.lit(False).alias("urgente"),
             F.lit(0).alias("declared_count"),
             F.lit(False).alias("count_valid"),
@@ -91,9 +97,64 @@ def extract_stage(pages: DataFrame, pages_per_doc: int = 1) -> DataFrame:
         )
     )
     extracted = live.mapInPandas(
-        lambda it: _extract_batches(it, pages_per_doc), schema=EXTRACTION_SCHEMA
+        lambda it: _extract_batches(it, pages_per_doc), schema=RAW_EXTRACTION_SCHEMA
     )
-    return extracted.unionByName(dead)
+    return enrich_stage(extracted.unionByName(dead))
+
+
+def enrich_stage(raw: DataFrame) -> DataFrame:
+    """X8 — conditional enrichment injection, as pure native expressions
+    (post_ocr_validator.enrich_ocr_result, reference :140-218):
+
+      * inject the X7 fallback rows into personas iff persons were expected
+        (table indicators fired), the primary structured parse found none,
+        and the fallback found some — appending the ADVERTENCIA warning to
+        observaciones;
+      * ALWAYS rebuild the person rollups from the merged list
+        (lista_clientes -> lista_personas conversion, :166-172):
+        n_personas, monto_total = sum(monto_numerico);
+      * priority (C2) from the post-merge monto_total + type urgency
+        (crm_integrator/app.py:404-430).
+
+    Narrow (shuffle-free), whole-stage-codegen-able; no Python.
+    """
+    primary = F.col("personas_primary")
+    fallback = F.col("personas_fallback")
+    inject = (
+        F.col("persons_expected")
+        & (F.coalesce(F.size(primary), F.lit(0)) == 0)
+        & (F.coalesce(F.size(fallback), F.lit(0)) > 0)
+    )
+    personas = F.when(inject, fallback).otherwise(primary)
+    merged = raw.select(
+        "*",
+        inject.alias("_inject"),
+        personas.alias("personas"),
+    )
+    empty_personas = F.array().cast(RAW_EXTRACTION_SCHEMA["personas_primary"].dataType)
+    monto_total = F.aggregate(
+        F.coalesce(F.col("personas"), empty_personas),
+        F.lit(0.0),
+        lambda acc, p: acc + F.coalesce(p["monto_numerico"], F.lit(0.0)),
+    )
+    out = merged.select(
+        "*",
+        F.coalesce(F.size("personas"), F.lit(0)).alias("n_personas"),
+        monto_total.alias("monto_total"),
+        F.when(
+            F.col("_inject"),
+            F.concat(F.coalesce(F.col("observaciones"), F.lit("")), F.lit(ENRICHMENT_WARNING_TEXT)),
+        ).otherwise(F.col("observaciones")).alias("_observaciones"),
+        F.col("_inject").alias("enrichment_warning"),
+    )
+    out = out.withColumn(
+        "priority",
+        F.when(F.col("urgente") | (F.col("monto_total") > F.lit(PRIORITY_HIGH_AMOUNT)), F.lit("High"))
+        .otherwise(F.lit("Medium")),
+    )
+    return out.drop("observaciones").withColumnRenamed("_observaciones", "observaciones").select(
+        *[f.name for f in EXTRACTION_SCHEMA.fields]
+    )
 
 
 def fields_long(extractions: DataFrame) -> DataFrame:

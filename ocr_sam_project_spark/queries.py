@@ -995,6 +995,112 @@ _M1_DUCK = """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS
 # fast-path twin of the mapInPandas decode stub in operators/multimodal.py.
 _sql("m_binary_features", _M1, _M1_DUCK)
 
+def _x8_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 conditional enrichment injection (post_ocr_validator.py:140-218)
+    exercised through the REAL enrich_stage operator: deterministic primary/
+    fallback person arrays are synthesized per doc_id, merged natively, and
+    the scalar outcomes (counts, recomputed monto, warning, priority) are
+    hash-compared against a pure-SQL twin of the merge semantics."""
+    from .pipeline.schema import RAW_EXTRACTION_SCHEMA
+    from .pipeline.stages import enrich_stage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+
+    def persona(seq: int, monto_expr):
+        return F.struct(
+            F.lit(seq).cast("int").alias("secuencia"),
+            F.lit("NOMBRE X").alias("nombre_completo"),
+            F.lit("8-111-222").alias("numero_identificacion"),
+            monto_expr.cast("string").alias("monto"),
+            monto_expr.cast("double").alias("monto_numerico"),
+            F.lit(0).cast("int").alias("start"),
+            F.lit(10).cast("int").alias("end"),
+        )
+
+    ptype = RAW_EXTRACTION_SCHEMA["personas_primary"].dataType
+    empty = F.array().cast(ptype)
+    m1 = (i % 1000).cast("double") + F.lit(0.25)
+    m2 = F.lit(60000.0)
+    primary = (
+        F.when(i % 3 == 0, empty)
+        .when(i % 3 == 1, F.array(persona(1, m1)).cast(ptype))
+        .otherwise(F.array(persona(1, m1), persona(2, m2)).cast(ptype))
+    )
+    fallback = F.when(i % 2 == 0, F.array(persona(1, F.lit(250.5))).cast(ptype)).otherwise(empty)
+    raw = docs.select(
+        F.concat(F.lit("doc://"), i.cast("string")).alias("url"),
+        F.lit(1).cast("int").alias("seg_no"),
+        F.lit("embargo").alias("doc_type"),
+        F.lit("Embargos").alias("tramite"),
+        F.lit("Civil").alias("departamento"),
+        F.lit("t").alias("extracted_text"),
+        F.lit(None).cast("string").alias("numero_oficio"),
+        F.lit(None).cast("string").alias("fecha"),
+        F.lit(None).cast("string").alias("autoridad"),
+        F.lit(None).cast(RAW_EXTRACTION_SCHEMA["fields"].dataType).alias("fields"),
+        primary.alias("personas_primary"),
+        fallback.alias("personas_fallback"),
+        F.lit("").alias("observaciones"),
+        F.lit(None).cast("array<string>").alias("palabras_clave"),
+        F.lit(0.0).alias("validation_score"),
+        F.lit(False).alias("validation_passed"),
+        (i % 4 < 2).alias("persons_expected"),
+        F.lit("baja").alias("confianza"),
+        (i % 5 == 0).alias("urgente"),
+        F.lit(0).cast("int").alias("declared_count"),
+        F.lit(True).alias("count_valid"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    out = enrich_stage(raw)
+    return out.select(
+        F.col("url"),
+        F.col("n_personas"),
+        F.round(F.col("monto_total"), 6).alias("monto_total"),
+        F.col("enrichment_warning"),
+        F.col("priority"),
+        F.col("observaciones"),
+    )
+
+
+def _x8_duck() -> str:
+    # scalar twin of the merge: counts/sums known by construction
+    warn = (
+        "concat(chr(10), 'ADVERTENCIA: Personas extraídas mediante fallback"
+        " desde texto. Validar manualmente.')"
+    )
+    return f"""
+    WITH base AS (
+      SELECT concat('doc://', CAST(doc_id AS VARCHAR)) AS url,
+             CASE WHEN doc_id % 3 = 0 THEN 0 WHEN doc_id % 3 = 1 THEN 1 ELSE 2 END AS primary_cnt,
+             CASE WHEN doc_id % 3 = 0 THEN 0.0
+                  WHEN doc_id % 3 = 1 THEN (doc_id % 1000) + 0.25
+                  ELSE (doc_id % 1000) + 0.25 + 60000.0 END AS primary_monto,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS fallback_cnt,
+             CASE WHEN doc_id % 2 = 0 THEN 250.5 ELSE 0.0 END AS fallback_monto,
+             doc_id % 4 < 2 AS expected,
+             doc_id % 5 = 0 AS urgente
+      FROM documents),
+    merged AS (
+      SELECT url, urgente,
+             (expected AND primary_cnt = 0 AND fallback_cnt > 0) AS inject,
+             CASE WHEN (expected AND primary_cnt = 0 AND fallback_cnt > 0)
+                  THEN fallback_cnt ELSE primary_cnt END AS n_personas,
+             CASE WHEN (expected AND primary_cnt = 0 AND fallback_cnt > 0)
+                  THEN fallback_monto ELSE primary_monto END AS monto
+      FROM base)
+    SELECT url, n_personas,
+           ROUND(monto, 6) AS monto_total,
+           inject AS enrichment_warning,
+           CASE WHEN urgente OR monto > 50000.0 THEN 'High' ELSE 'Medium' END AS priority,
+           CASE WHEN inject THEN {warn} ELSE '' END AS observaciones
+    FROM merged"""
+
+
+QUERY_FNS["x8_enrich_inject"] = _x8_fn
+ORACLES["x8_enrich_inject"] = _x8_duck()
+
+
 # ===========================================================================
 # Rows-only queries (no SQL-expressible oracle; driver records row counts) —
 # the full extraction pipeline and the scale-path (recall<1) variants.

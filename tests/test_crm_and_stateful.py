@@ -109,3 +109,68 @@ def test_stateful_running_lineage(spark, tmp_path):
     # statuses derived
     statuses = {r.status for r in updates.select("status").distinct().collect()}
     assert statuses <= {"queued", "completed", "partial_completion", "error", "processing"}
+
+
+def test_x8_enrichment_injection_cases(spark):
+    """Pin the reference's merge cases (post_ocr_validator.py:140-218):
+    inject fallback persons iff expected & primary empty & fallback found;
+    always rebuild n_personas/monto_total from the merged list; append the
+    ADVERTENCIA warning only on injection."""
+    from ocr_sam_project_spark.pipeline.stages import (
+        ENRICHMENT_WARNING_TEXT,
+        enrich_stage,
+    )
+    from ocr_sam_project_spark.pipeline.schema import RAW_EXTRACTION_SCHEMA
+
+    def rec(url, primary, fallback, expected):
+        def p(seq, monto):
+            return {
+                "secuencia": seq, "nombre_completo": "NOMBRE X",
+                "numero_identificacion": "8-111-222", "monto": str(monto),
+                "monto_numerico": float(monto), "start": 0, "end": 10,
+            }
+        return {
+            "url": url, "seg_no": 1, "doc_type": "embargo",
+            "tramite": "Embargos", "departamento": "Civil",
+            "extracted_text": "t", "numero_oficio": None, "fecha": None,
+            "autoridad": None, "fields": [],
+            "personas_primary": [p(1, m) for m in primary],
+            "personas_fallback": [p(1, m) for m in fallback],
+            "observaciones": "", "palabras_clave": [],
+            "validation_score": 0.0, "validation_passed": False,
+            "persons_expected": expected, "confianza": "baja",
+            "urgente": False, "declared_count": 0, "count_valid": True,
+            "error": None,
+        }
+
+    raw = spark.createDataFrame(
+        [
+            rec("inject", [], [250.5, 100.0], True),        # -> injected
+            rec("primary_wins", [467.5], [999.0], True),    # primary kept
+            rec("not_expected", [], [250.5], False),        # loose match ignored
+            rec("nothing_found", [], [], True),             # expected but none
+            rec("big_monto", [60000.0], [], False),         # priority High by amount
+        ],
+        RAW_EXTRACTION_SCHEMA,
+    )
+    out = {r.url: r for r in enrich_stage(raw).collect()}
+
+    r = out["inject"]
+    assert r.enrichment_warning and r.n_personas == 2
+    assert r.monto_total == 350.5
+    assert r.observaciones == ENRICHMENT_WARNING_TEXT
+    assert [p.monto_numerico for p in r.personas] == [250.5, 100.0]
+
+    r = out["primary_wins"]
+    assert not r.enrichment_warning and r.n_personas == 1
+    assert r.monto_total == 467.5 and r.observaciones == ""
+
+    r = out["not_expected"]
+    assert not r.enrichment_warning and r.n_personas == 0
+    assert r.monto_total == 0.0 and r.observaciones == ""
+
+    r = out["nothing_found"]
+    assert not r.enrichment_warning and r.n_personas == 0
+
+    assert out["big_monto"].priority == "High"   # 60000 > 50000 threshold
+    assert out["inject"].priority == "Medium"

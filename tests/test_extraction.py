@@ -274,9 +274,11 @@ def test_extract_document_html_path():
     assert r["numero_oficio"] == "JE-482-2025"
     assert r["fecha"] == "2025-05-23"
     assert r["autoridad"].lower().startswith("juzgado primero")
-    assert r["n_personas"] == 1
-    assert r["monto_total"] == 467.5
-    assert r["priority"] == "High" and r["urgente"]
+    # raw record carries BOTH person-source candidates (X8 merges Spark-side)
+    assert len(r["personas_primary"]) == 1
+    assert r["personas_primary"][0]["monto_numerico"] == 467.5
+    assert len(r["personas_fallback"]) == 1
+    assert r["urgente"]
     assert r["error"] is None
     # spans index into extracted_text
     f0 = next(f for f in r["fields"] if f["field"] == "numero_oficio")
