@@ -609,6 +609,74 @@ def _n10(spark: bool) -> str:
 # N10: extract_currency first-match chain (utils.py:113-131).
 _sql("n10_extract_currency", _n10(True), _n10(False))
 
+# N1: clean_value — None/'null' -> '', strings stripped (shared/utils.py
+# clean_value; normalizers.py:66-76).  Input variety synthesized per custkey.
+_N1 = """WITH v AS (SELECT c_custkey,
+              CASE WHEN c_custkey % 5 = 0 THEN NULL
+                   WHEN c_custkey % 5 = 1 THEN 'null'
+                   WHEN c_custkey % 5 = 2 THEN concat('   ', c_name, '  ')
+                   WHEN c_custkey % 5 = 3 THEN CAST(c_nationkey AS STRING)
+                   ELSE c_name END AS raw FROM customer)
+       SELECT c_custkey,
+              CASE WHEN raw IS NULL OR raw = 'null' THEN '' ELSE trim(raw) END AS cleaned
+       FROM v"""
+_sql("n1_clean_value", _N1, _N1)
+
+
+def _n5(spark: bool) -> str:
+    iso = (
+        "v RLIKE '^\\\\d{4}-\\\\d{2}-\\\\d{2}$'"
+        if spark
+        else r"regexp_matches(v, '^\d{4}-\d{2}-\d{2}$')"
+    )
+    return (
+        "WITH v AS (SELECT o_orderkey,"
+        " CASE WHEN o_orderkey % 4 = 0 THEN NULL"
+        "      WHEN o_orderkey % 4 = 1 THEN 'No especificado'"
+        "      WHEN o_orderkey % 4 = 2 THEN '15/06/2025'"
+        "      ELSE CAST(CAST(o_orderdate AS DATE) AS STRING) END AS v FROM orders) "
+        "SELECT o_orderkey,"
+        " CASE WHEN v IS NULL OR v IN ('', 'No especificado', 'No especificada', 'null', 'None') THEN '1900-01-01'"
+        f"      WHEN {iso} THEN v"
+        "       ELSE '1900-01-01' END AS fecha_safe"
+        " FROM v"
+    )
+
+
+# N5: safe_date gate — only already-ISO passes, else 1900-01-01 sentinel
+# (crm_integrator/app.py:466-474; normalizers.py safe_date_gate).
+_sql("n5_safe_date_gate", _n5(True), _n5(False))
+
+
+def _n11(spark: bool) -> str:
+    e = (lambda s: s.replace("\\", "\\\\")) if spark else (lambda s: s)
+    dmy = e(r"(\d{1,2}/\d{1,2}/\d{4})")
+    ymd = e(r"(\d{4}-\d{1,2}-\d{1,2})")
+    dmy2 = e(r"(\d{1,2}-\d{1,2}-\d{4})")
+    return (
+        "WITH t AS (SELECT doc_id,"
+        " CASE WHEN doc_id % 3 = 0 THEN concat('visto el ', CAST(doc_id % 28 + 1 AS STRING),"
+        "   '/', CAST(doc_id % 12 + 1 AS STRING), '/2025 y el 2024-01-01 despues')"
+        "      WHEN doc_id % 3 = 1 THEN concat('registro 2025-', CAST(doc_id % 9 + 1 AS STRING), '-15 unico')"
+        "      ELSE 'sin fecha alguna' END AS s FROM documents) "
+        "SELECT doc_id, coalesce("
+        f" nullif(regexp_extract(s, '{dmy}', 1), ''),"
+        f" nullif(regexp_extract(s, '{ymd}', 1), ''),"
+        f" nullif(regexp_extract(s, '{dmy2}', 1), ''),"
+        " 'none') AS first_date FROM t"
+    )
+
+
+# N11: generic date extract — first d/m/Y, then Y-m-d, then d-m-Y
+# (shared/utils.py:130-143; normalizers.py extract_date).
+_sql("n11_extract_date", _n11(True), _n11(False))
+
+# N13: plain prefix truncation (texto_completo[:4000] analog,
+# crm_integrator/app.py:294; normalizers.py truncate).
+_N13 = """SELECT doc_id, substring(text, 1, 40) AS prefix40, length(text) AS n_chars
+       FROM documents"""
+_sql("n13_truncate", _N13, _N13)
+
 _F2 = """WITH p AS (SELECT doc_id,
               CASE WHEN doc_id % 5 = 0 THEN 'SEPARADOR DE OFICIOS ====='
                    WHEN doc_id % 5 = 1 THEN concat('pagina con contenido real ', repeat('x ', 120))
