@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .skew import spread_scan
 from .textstats import hash64, normalize_for_fingerprint
 
 N_HASHES = 16
@@ -115,17 +116,19 @@ def minhash_signatures(
 
     fast=False uses the portable md5 hash64 (exact DuckDB oracle twin);
     fast=True uses native salted xxhash64 (~10x cheaper, same statistical
-    properties) — the production path, used by the LSH pipeline."""
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col))).alias("sh")
-    )
+    properties) — the production path, used by the LSH pipeline.
+
+    Shuffle-free: sig_i = array_min(transform(shingles, hash_i)) evaluates
+    per-row inside whole-stage codegen — no shingle explode, no groupBy.
+    (The r1 form exploded ~200 shingle rows per doc and shuffled them back
+    through a 16-way min agg; at web scale that shuffle IS the job.)"""
     if fast:
-        hashes = [F.xxhash64(F.lit(i), F.col("sh")) for i in range(k)]
+        mk = lambda i: (lambda s: F.xxhash64(F.lit(i), s))  # noqa: E731
     else:
-        hashes = [hash64(F.concat(F.lit(f"{i}|"), F.col("sh"))) for i in range(k)]
-    aggs = [F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)]
-    sig = sh.groupBy("id").agg(*aggs)
-    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
+        mk = lambda i: (lambda s: hash64(F.concat(F.lit(f"{i}|"), s)))  # noqa: E731
+    sh = shingles(F.col(text_col))
+    sig = F.array(*[F.array_min(F.transform(sh, mk(i))) for i in range(k)])
+    return spread_scan(df).select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -188,15 +191,40 @@ def minhash_near_dups(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Scale-path near-dup: LSH candidates verified by exact Jaccard.
-    Verification joins shingles ONLY for candidate ids (semi-join pushdown),
-    so the quadratic step never touches the full corpus."""
-    cand = minhash_lsh_candidates(df, text_col, id_col)
+
+    Verification is two id-equi-joins pulling each candidate's (distinct)
+    shingle ARRAY, then set Jaccard via array_intersect/array_union — all
+    JVM, no shingle explode, no per-pair groupBy, and shingles are computed
+    once per candidate id (r1 shingled candidates a second time through the
+    exploding ngram_jaccard_pairs path).  The candidate set is bucket-capped
+    (MAX_BUCKET) so the pair list stays linear-ish in near-dup clusters."""
+    # the pair list is tiny (bucket-capped) but its lineage is the whole
+    # signature+banding DAG; it feeds THREE consumers below (cand_ids and
+    # both sides of the verify join) — persist so signatures compute once.
+    cand = minhash_lsh_candidates(df, text_col, id_col).persist()
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
-    small = df.join(cand_ids, F.col(id_col) == F.col("id"), "left_semi")
-    exact = ngram_jaccard_pairs(small, text_col, id_col, threshold=threshold)
-    return cand.join(exact, ["id_a", "id_b"], "inner")
+    sh = (
+        df.join(cand_ids, F.col(id_col) == F.col("id"), "left_semi")
+        .select(F.col(id_col).alias("id"), shingles(F.col(text_col)).alias("sh"))
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sha"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_shb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_sha", "_shb")).cast("double")
+                / F.size(F.array_union("_sha", "_shb")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -228,7 +256,7 @@ def simhash_near_dups(
     """Near-dup pairs by simhash hamming distance <= max_hamming.
     Scale path: block on the high byte of the simhash (near-dups almost
     always share it for small hamming radii), then verify in-bucket."""
-    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
+    s = spread_scan(df).select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
     s = s.withColumn("blk", F.shiftright(F.col("sh"), bits - 8))
     a, b = s.alias("a"), s.alias("b")
     return (

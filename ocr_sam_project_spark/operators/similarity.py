@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -53,8 +55,10 @@ def topk_cosine(
 ) -> DataFrame:
     """Brute-force top-k by cosine vs a literal query vector.
     Deterministic tie-break: (sim DESC, id ASC).  Returns (vec_id, sim)."""
+    from .skew import spread_scan
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
+    scored = spread_scan(df).select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 6).alias("sim"),
     )
@@ -63,12 +67,27 @@ def topk_cosine(
 
 def rhp_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane sign signature: bit_i = (vec . plane_i) >= 0.
-    Planes are fixed literals (deterministic)."""
-    sig = F.lit(0)
-    for i, p in enumerate(planes):
-        pl = F.array(*[F.lit(float(x)) for x in p])
-        sig = sig + F.when(dot(vec_col, pl) >= 0, F.lit(2**i)).otherwise(F.lit(0))
-    return sig
+    Planes are fixed literals (deterministic).
+
+    Single pass: one Arrow-batched pandas UDF computing ALL plane dots as a
+    (batch x dim) @ (dim x planes) NumPy matmul.  The previous form — one
+    nested F.aggregate expression tree per plane — was O(planes x dim)
+    lambda-expression evaluations per row and codegenned poorly (the 11x
+    LSH-slower-than-brute anomaly in BENCH_r01)."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = (1 << np.arange(P.shape[1])).astype(np.int64)
+
+    @pandas_udf("long")
+    def _sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.vstack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = (m @ P) >= 0.0
+        return pd.Series(bits @ weights)
+
+    return _sig(vec_col)
 
 
 def deterministic_planes(dim: int, n_planes: int) -> list[list[float]]:
@@ -109,8 +128,10 @@ def topk_cosine_lsh(
     probe_sigs = {qsig}
     if multiprobe >= 1:
         probe_sigs |= {qsig ^ (1 << b) for b in range(n_planes)}
+    from .skew import spread_scan
+
     sig = rhp_signature(F.col(vec_col), planes)
-    cand = df.withColumn("_sig", sig).filter(F.col("_sig").isin(list(probe_sigs)))
+    cand = spread_scan(df).withColumn("_sig", sig).filter(F.col("_sig").isin(list(probe_sigs)))
     return topk_cosine(cand.drop("_sig"), query_vec, k, id_col, vec_col)
 
 
@@ -126,6 +147,8 @@ def ivf_assign(
 
     At scale the centroid table is tiny -> broadcast join; assignment is one
     narrow pass."""
+    from .skew import spread_scan
+
     cent = (
         df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .withColumn("_h", hash64(F.col("cid").cast("string")))
@@ -133,6 +156,7 @@ def ivf_assign(
         .limit(n_centroids)
         .drop("_h")
     )
+    df = spread_scan(df)
     joined = df.crossJoin(F.broadcast(cent)).withColumn(
         "_d", cosine(F.col(vec_col), F.col("cvec"))
     )
@@ -151,9 +175,11 @@ def near_dup_cosine(
     signature, exact cosine inside buckets only (high-tau near-dups almost
     surely share all sign bits)."""
     # infer dim from one row (driver-side; metadata-cheap)
+    from .skew import spread_scan
+
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     planes = deterministic_planes(first.d, n_planes)
-    s = df.select(
+    s = spread_scan(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         rhp_signature(F.col(vec_col), planes).alias("sig"),
     )

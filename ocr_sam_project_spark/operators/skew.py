@@ -15,6 +15,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Guarantee >= defaultParallelism partitions before a compute-heavy
+    narrow stage.
+
+    A single-row-group parquet file scans as ONE task (Spark cannot split
+    below row-group granularity), serializing any per-row hashing/UDF work
+    that follows.  When the scan yields fewer partitions than cores, one
+    round-robin repartition of the (cheap, pre-compute) rows restores
+    parallelism.  At production scale the scan already has >= cores splits
+    and this is a no-op — no shuffle is added.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -977,8 +977,9 @@ QUERY_FNS["d_ngram_jaccard"] = _d_jaccard_fn
 
 def _d_simhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash
+    from .operators.skew import spread_scan
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return df.select("doc_id", simhash(F.col("text"), bits=16).alias("sh"))
 
 
@@ -1029,14 +1030,25 @@ def _s_neardup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     would verify only the empty set; top-k keeps the oracle check dense.
     The thresholded scale path is operators.similarity.near_dup_cosine,
     benched via the LSH queries.)"""
-    from .operators.similarity import cosine
+    from .operators.similarity import dot, norm
+    from .operators.skew import spread_scan
 
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # norms once per ROW, not per pair (O(n) instead of O(n^2) norm work)
+    a = spread_scan(df).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    b = df.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"))
+        .select(
+            "id_a", "id_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4).alias("sim"),
+        )
         .orderBy(F.col("sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(20)
     )
