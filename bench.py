@@ -48,10 +48,13 @@ BENCH_QUERIES = [
     "t_quality",
     "t_lang_id",
     "d_exact_dedup",
+    "d_minhash_sig",
     "d_minhash_lsh_near_dups",
     "d_simhash",
     "s_topk_cosine",
     "s_topk_cosine_lsh",
+    "s_ivf_assign",
+    "x8_enrich_inject",
     "pipeline_extract",
 ]
 
@@ -118,7 +121,14 @@ def main() -> None:
     docs_per_sec = summary["docs_in"] / summary["elapsed_sec"] if summary["elapsed_sec"] else 0.0
 
     # ---- per-query timings --------------------------------------------------
-    from ocr_sam_project_spark.queries import QUERY_FNS
+    from ocr_sam_project_spark.queries import QUERY_FNS, _load
+
+    # warm the SQL path once before timing: view registration + a scan that
+    # touches the two big tables absorbs file-listing/codegen/JIT warm-up
+    # (BENCH_r01's q1=19.7s was all warm-up, not plan cost)
+    _load(spark, SF_DIR)
+    for t in ("lineitem", "orders", "documents", "embeddings"):
+        spark.table(t).write.format("noop").mode("overwrite").save()
 
     qtimes: dict[str, float] = {}
     for name in BENCH_QUERIES:
