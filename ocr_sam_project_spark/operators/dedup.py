@@ -138,13 +138,17 @@ def minhash_lsh_candidates(
     k: int = N_HASHES,
     bands: int = N_BANDS,
     max_bucket: int = MAX_BUCKET,
+    fast: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any (band, md5-of-band-slice) bucket become
     candidate pairs (a < b, deduplicated).  Buckets larger than max_bucket
     are dropped (degenerate shingle guard — at web scale one boilerplate
-    string otherwise creates an O(n^2) bucket)."""
+    string otherwise creates an O(n^2) bucket).
+
+    fast=False switches the signatures to the md5-portable hash so the whole
+    banded pipeline has an exact DuckDB oracle twin."""
     r = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k, fast=True)
+    sig = minhash_signatures(df, text_col, id_col, k, fast=fast)
     banded = sig.select(
         "id",
         F.explode(
@@ -189,6 +193,9 @@ def minhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    k: int = N_HASHES,
+    bands: int = N_BANDS,
+    fast: bool = True,
 ) -> DataFrame:
     """Scale-path near-dup: LSH candidates verified by exact Jaccard.
 
@@ -201,7 +208,7 @@ def minhash_near_dups(
     # the pair list is tiny (bucket-capped) but its lineage is the whole
     # signature+banding DAG; it feeds THREE consumers below (cand_ids and
     # both sides of the verify join) — persist so signatures compute once.
-    cand = minhash_lsh_candidates(df, text_col, id_col).persist()
+    cand = minhash_lsh_candidates(df, text_col, id_col, k, bands, fast=fast).persist()
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()

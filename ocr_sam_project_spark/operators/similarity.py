@@ -158,9 +158,18 @@ def ivf_assign(
     )
     df = spread_scan(df)
     joined = df.crossJoin(F.broadcast(cent)).withColumn(
-        "_d", cosine(F.col(vec_col), F.col("cvec"))
+        "_d", F.round(cosine(F.col(vec_col), F.col("cvec")), 6)
     )
-    best = joined.groupBy(id_col).agg(F.max_by("cid", "_d").alias("centroid_id"))
+    # deterministic argmax: round to 6 dp then break ties on smallest cid
+    # (max_by has no tie order; cross-engine parity needs one)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("_d").desc(), F.col("cid").asc())
+    best = (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, F.col("cid").alias("centroid_id"))
+    )
     return df.join(best, id_col)
 
 

@@ -1271,6 +1271,78 @@ def _d_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERY_FNS["d_minhash_lsh_near_dups"] = _d_lsh_fn
 
 
+def _d_lsh_portable_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME banded-LSH + Jaccard-verify pipeline as
+    d_minhash_lsh_near_dups, with md5-portable signatures (k=8, 4 bands of
+    r=2) so every step — signatures, banding, bucket cap, candidate pairs,
+    set-Jaccard verification — has an exact DuckDB twin.  Upgrades the
+    flagship dedup scale path from rows-only to hash-verified."""
+    from .operators.dedup import minhash_near_dups
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_near_dups(df, threshold=0.5, k=8, bands=4, fast=False)
+
+
+def _d_lsh_portable_duck(k: int = 8, bands: int = 4, max_bucket: int = 64) -> str:
+    r = k // bands
+    h = lambda i: _H_DUCK.format(x=f"concat('{i}|', s)")  # noqa: E731
+    sig_cols = ", ".join(
+        f"list_min(list_transform(shl, s -> {h(i)})) AS h{i}" for i in range(k)
+    )
+    banded_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band, md5(concat_ws(',', {parts})) AS bucket FROM sig".format(
+            b=b,
+            parts=", ".join(f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id AS id, {_shingles_duck()} AS shl FROM documents),
+    sig AS (SELECT id, shl, {sig_cols} FROM sh),
+    banded AS ({banded_selects}),
+    ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket
+           HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_bucket}),
+    pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+              JOIN ok o ON o.band = a.band AND o.bucket = a.bucket
+              WHERE a.id < b.id)
+    SELECT p.id_a, p.id_b,
+           ROUND(CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(sa.shl, sb.shl))) AS DOUBLE), 6) AS jaccard
+    FROM pairs p
+    JOIN sh sa ON sa.id = p.id_a
+    JOIN sh sb ON sb.id = p.id_b
+    WHERE CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(sa.shl, sb.shl))) AS DOUBLE) >= 0.5"""
+
+
+QUERY_FNS["d_minhash_lsh_portable"] = _d_lsh_portable_fn
+ORACLES["d_minhash_lsh_portable"] = _d_lsh_portable_duck()
+
+
+def _d_simhash_nd_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_dups
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = simhash_near_dups(df, bits=16, max_hamming=2)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def _d_simhash_nd_duck() -> str:
+    return f"""
+    WITH s AS (SELECT doc_id AS id, sh, sh >> 8 AS blk FROM ({_d_simhash_duck()}) t)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 2"""
+
+
+# simhash near-dup pairs: block on high byte, hamming<=2 inside blocks —
+# the simhash scale path, oracle-verified end to end.
+QUERY_FNS["d_simhash_near_dups"] = _d_simhash_nd_fn
+ORACLES["d_simhash_near_dups"] = _d_simhash_nd_duck()
+
+
 def _s_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import topk_cosine_lsh
 
@@ -1289,4 +1361,25 @@ def _s_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(df, n_centroids=8).groupBy("centroid_id").count().withColumnRenamed("count", "n")
 
 
+def _s_ivf_duck(n_centroids: int = 8) -> str:
+    cos = (
+        "ROUND(list_dot_product(ea, ca) / (sqrt(list_dot_product(ea, ea))"
+        " * sqrt(list_dot_product(ca, ca))), 6)"
+    )
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings
+                  ORDER BY {_H_DUCK.format(x="CAST(vec_id AS VARCHAR)")} LIMIT {n_centroids}),
+    d AS (SELECT e.vec_id, c.cid, {cos} AS sim
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings) e
+          CROSS JOIN cent c),
+    best AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk
+               FROM d) t WHERE rk = 1)
+    SELECT cid AS centroid_id, COUNT(*) AS n FROM best GROUP BY cid"""
+
+
+# IVF coarse assignment: deterministic md5-sampled centroids, broadcast
+# argmax-cosine assignment — exact DuckDB twin (rounded sim + cid tie-break).
 QUERY_FNS["s_ivf_assign"] = _s_ivf_fn
+ORACLES["s_ivf_assign"] = _s_ivf_duck()
