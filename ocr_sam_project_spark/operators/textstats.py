@@ -101,6 +101,51 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_for_fingerprint(col))
 
 
+def with_winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    out_col: str = "winnow_fps",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003):
+    rolling hash over character k-grams of the canonical text, keep the MIN
+    hash of every w-wide window, distinct.  Robust to local edits — two
+    documents sharing any k-gram run of length >= k+w-1 share a fingerprint.
+
+    Shape matters for cost: the gram-hash array is materialized as a real
+    column and the window mins are a FOLD of zip_with over w-1 shifted
+    suffixes — no array-valued subexpression is referenced inside a lambda
+    body (a higher-order-function lambda re-evaluates its body subtrees per
+    element, which turns the naive slice-in-transform form O(n^2) per row).
+    One narrow pass, no shuffle; hashes via the md5-portable hash64 so the
+    DuckDB oracle twin is exact.  Adds `out_col` array<bigint>."""
+    s = F.col("_wf_s")
+    n_grams = F.greatest(F.length(s) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: hash64(s.substr(i, F.lit(k)))
+    )
+    h = F.col("_wf_h")
+    # min over sliding w-window = fold of element-wise least over shifted
+    # suffixes; zip_with truncates to the shorter side only after we slice
+    # to the n_win full windows (least() skips the null padding).
+    m = h
+    for t in range(1, w):
+        # NB: slice length must be size(h), not Int.MaxValue — start+maxint
+        # overflows int inside the codegen'd slice and yields an empty array
+        m = F.zip_with(m, F.slice(h, t + 1, F.size(h)), lambda x, y: F.least(x, y))
+    n_win = F.size(h) - (w - 1)
+    fps = F.when(n_win <= 0, F.array_distinct(F.array(F.array_min(h)))).otherwise(
+        F.array_distinct(F.slice(m, 1, F.greatest(n_win, F.lit(1))))
+    )
+    return (
+        df.withColumn("_wf_s", normalize_for_fingerprint(F.col(text_col)))
+        .withColumn("_wf_h", hashes)
+        .withColumn(out_col, fps)
+        .drop("_wf_s", "_wf_h")
+    )
+
+
 def hash64(col: Column) -> Column:
     """Portable 56-bit integer hash both engines compute identically:
     first 14 hex chars of md5, base-16 -> bigint.

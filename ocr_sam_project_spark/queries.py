@@ -903,6 +903,41 @@ ORACLES["t_quality"] = _t_quality_duck()
 # ===========================================================================
 # D — deduplication
 # ===========================================================================
+def _t_winnow_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import spread_scan
+    from .operators.textstats import with_winnow_fingerprints
+
+    # deterministic quarter of the corpus: the md5-portable rolling hash is
+    # ~300 interpreted HOF evaluations per doc, and this query exists to
+    # evidence VALUE parity, not throughput (production swaps xxhash64).
+    df = spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") % 4 == 0)
+    )
+    out = with_winnow_fingerprints(df, "text", k=8, w=4)
+    return out.select("doc_id", F.explode("winnow_fps").alias("fp"))
+
+
+def _t_winnow_duck(k: int = 8, w: int = 4) -> str:
+    s = _NORM_DUCK.format(x="text")
+    h = _H_DUCK.format(x=f"substr(s, i, {k})")
+    return f"""
+    WITH t AS (SELECT doc_id, {s} AS s FROM documents WHERE doc_id % 4 = 0),
+    g AS (SELECT doc_id,
+                 [{h} FOR i IN range(1, greatest(len(s) - {k - 1}, 1) + 1)] AS h
+          FROM t)
+    SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(h) - {w - 1} <= 0 THEN [list_min(h)]
+                  ELSE [list_min(h[j:j+{w - 1}]) FOR j IN range(1, len(h) - {w - 1} + 1)]
+             END)) AS fp
+    FROM g"""
+
+
+# rolling-hash document fingerprinting (winnowing): char k-gram rolling
+# hashes, window-min selection — the local-edit-robust fingerprint set.
+QUERY_FNS["t_winnow_fingerprint"] = _t_winnow_fn
+ORACLES["t_winnow_fingerprint"] = _t_winnow_duck()
+
+
 def _d_exact_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import exact_dedup
 

@@ -107,3 +107,37 @@ def test_frame_sample_plan(spark):
     rows = frame_sample_plan(df, "media_id", "n_frames", every_k=30).collect()
     got = {(r.media_id, r.frame_idx) for r in rows}
     assert got == {("1", 0), ("1", 30), ("1", 60), ("1", 90), ("2", 0)}
+
+
+def test_winnow_fingerprints_matches_reference_algorithm(spark):
+    """Pin winnowing (Schleimer et al. 2003): char k-gram rolling hashes,
+    min per w-window, distinct — vs a direct Python reference."""
+    import hashlib
+    import re
+
+    from ocr_sam_project_spark.operators.textstats import with_winnow_fingerprints
+
+    texts = [
+        "El Juzgado Primero de lo Civil decreta formal embargo sobre las cuentas",
+        "short",                       # < k chars -> single-gram fallback
+        "  Espacios   multiples\ty  MAYUSCULAS normalizadas  ",
+        "abcdefghijkl",                # n_grams=5 < ... exercises small-n path
+    ]
+    k, w = 8, 4
+
+    def ref(text):
+        s = re.sub(r"\s+", " ", text.lower()).strip()
+        h64 = lambda x: int(hashlib.md5(x.encode()).hexdigest()[:14], 16)  # noqa: E731
+        n = max(len(s) - (k - 1), 1)
+        hs = [h64(s[i:i + k]) for i in range(n)]
+        if len(hs) - (w - 1) <= 0:
+            return sorted({min(hs)})
+        return sorted({min(hs[j:j + w]) for j in range(len(hs) - (w - 1))})
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    got = {
+        r.i: sorted(r.winnow_fps)
+        for r in with_winnow_fingerprints(df, "text", k=k, w=w).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), f"fingerprint drift on text {i}"
