@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
-from . import boilerplate, classifier, extractors, segmentation
+from . import boilerplate, classifier, extractors, pdftext, segmentation
 from .normalizers import parse_date_es
 from .validators import validate_count
 
@@ -74,9 +74,14 @@ def _segment(
         if len(html_bytes) > MAX_HTML_BYTES:
             raise ValueError("document exceeds size envelope")
         if html_bytes.startswith(PDF_MAGIC):
-            # PDF path: the text layer carries \f-separated pages (E1-E4).
-            segs = segmentation.segment_document(text or "", pages_per_doc)
-            return [(s.seg_no, s.text) for s in segs if s.text], _declared(text or "")
+            # PDF path (E1-E4): parse the actual byte stream when it is a
+            # real PDF (pdftext — the PyPDF2 page-slicing analog,
+            # pdf_service.py:120-150); else fall back to the pre-extracted
+            # text column's \f-separated page layer.
+            pdf_pages = pdftext.extract_pages(html_bytes)
+            layer = "\f".join(pdf_pages) if pdf_pages else (text or "")
+            segs = segmentation.segment_document(layer, pages_per_doc)
+            return [(s.seg_no, s.text) for s in segs if s.text], _declared(layer)
         html = boilerplate.decode_html(html_bytes)
         if "<" in html:
             main = boilerplate.extract_main_text(html)
