@@ -25,7 +25,6 @@ from __future__ import annotations
 import re
 import zlib
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?endstream", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _PAGES_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
@@ -57,8 +56,34 @@ def extract_pages(pdf_bytes: bytes) -> list[str]:
         return []  # malformed -> caller falls back to the text column
 
 
+_OBJ_HEADER_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+
+
 def _scan_objects(pdf: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(pdf)}
+    """Incremental scan that never regexes THROUGH stream data: compressed
+    bytes can contain fake `endobj`/`endstream` sequences, so each stream is
+    skipped via its dict's /Length before searching for the object end."""
+    objs: dict[int, bytes] = {}
+    pos = 0
+    while True:
+        m = _OBJ_HEADER_RE.search(pdf, pos)
+        if not m:
+            return objs
+        start = m.end()
+        sm = _STREAM_START_RE.search(pdf, start)
+        em = pdf.find(b"endobj", start)
+        if sm is not None and (em == -1 or sm.start() < em):
+            lm = _LENGTH_RE.search(pdf, start, sm.start())
+            if lm:
+                data_end = sm.end() + int(lm.group(1))
+                em = pdf.find(b"endobj", data_end)
+            else:  # no /Length: out of subset, take the nearest endobj
+                em = pdf.find(b"endobj", sm.end())
+        end = em if em != -1 else len(pdf)
+        objs[int(m.group(1))] = pdf[start:end]
+        pos = end + 6 if em != -1 else len(pdf)
 
 
 def _page_order(objs: dict[int, bytes]) -> list[int]:
@@ -100,11 +125,18 @@ def _content_refs(page_body: bytes) -> list[int]:
 
 
 def _object_stream(body: bytes) -> bytes:
-    m = _STREAM_RE.search(body)
-    if not m:
+    sm = _STREAM_START_RE.search(body)
+    if not sm:
         return b""
-    data = m.group(1)
-    if b"/FlateDecode" in body.split(b"stream", 1)[0]:
+    lm = _LENGTH_RE.search(body, 0, sm.start())
+    if lm:
+        data = body[sm.end() : sm.end() + int(lm.group(1))]
+    else:
+        m = _STREAM_RE.search(body)
+        if not m:
+            return b""
+        data = m.group(1)
+    if b"/FlateDecode" in body[: sm.start()]:
         try:
             return zlib.decompress(data)
         except zlib.error:
@@ -118,56 +150,66 @@ def _object_stream(body: bytes) -> bytes:
 
 def _text_from_content(content: bytes) -> str:
     """Collect shown strings from BT..ET blocks; Td/TD/T* and the '/" ops
-    start a new line (the PyPDF2 extract_text convention our fixtures pin)."""
+    start a new line (the PyPDF2 extract_text convention our fixtures pin).
+
+    Single-pass tokenizer over the whole stream — strings are consumed
+    BEFORE operator matching, so 'BT'/'ET'/'Tj' byte sequences inside shown
+    text (e.g. 'CAFETERIA') can never be mistaken for operators (a naive
+    BT(.*?)ET block regex truncates exactly there)."""
     parts: list[str] = []
-    for block in re.findall(rb"BT(.*?)ET", content, re.S):
-        line_open = False
-        i = 0
-        n = len(block)
-        pending: list[str] = []  # strings seen since the last operator
+    line_open = False
+    pending: list[str] = []  # strings seen since the last operator
+    depth = 0  # BT nesting
 
-        def emit(newline: bool) -> None:
-            nonlocal line_open
-            if pending:
-                if newline and line_open:
-                    parts.append("\n")
-                parts.append("".join(pending))
-                line_open = True
-                pending.clear()
-            elif newline and line_open:
+    def emit(newline: bool) -> None:
+        nonlocal line_open
+        if pending:
+            if newline and line_open:
                 parts.append("\n")
-                line_open = True
+            parts.append("".join(pending))
+            line_open = True
+            pending.clear()
+        elif newline and line_open:
+            parts.append("\n")
 
-        while i < n:
-            c = block[i : i + 1]
-            if c == b"(":
-                s, i = _literal_string(block, i)
+    i = 0
+    n = len(content)
+    while i < n:
+        c = content[i : i + 1]
+        if c == b"(":
+            s, i = _literal_string(content, i)
+            if depth > 0:
                 pending.append(s)
-            elif c == b"<" and block[i : i + 2] != b"<<":
-                s, i = _hex_string(block, i)
+        elif c == b"<" and content[i : i + 2] != b"<<":
+            s, i = _hex_string(content, i)
+            if depth > 0:
                 pending.append(s)
-            elif c == b"<":  # dictionary: skip
-                i += 2
-            elif c.isalpha() or c in (b"'", b'"', b"*"):
-                m = re.match(rb"[A-Za-z'\"*]+", block[i:])
-                op = m.group(0)
-                i += len(op)
-                if op == b"Tj":
-                    emit(newline=False)
-                elif op in (b"'", b'"'):
-                    emit(newline=True)
-                elif op == b"TJ":
-                    emit(newline=False)
-                elif op in _NEWLINE_OPS:
-                    # positioning op: pending strings (there should be none)
-                    # flush, and the next shown string begins a new line
-                    if line_open:
-                        parts.append("\n")
-                        line_open = False
-                    pending.clear()
-            else:
-                i += 1
-        emit(newline=False)
+        elif c == b"<":  # dictionary: skip the '<<'
+            i += 2
+        elif c.isalpha() or c in (b"'", b'"', b"*"):
+            m = re.match(rb"[A-Za-z'\"*]+", content[i:])
+            op = m.group(0)
+            i += len(op)
+            if op == b"BT":
+                depth += 1
+            elif op == b"ET":
+                emit(newline=False)
+                depth = max(depth - 1, 0)
+            elif depth == 0:
+                pending.clear()
+            elif op in (b"Tj", b"TJ"):
+                emit(newline=False)
+            elif op in (b"'", b'"'):
+                emit(newline=True)
+            elif op in _NEWLINE_OPS:
+                # positioning op: a new line starts at the next shown string
+                if line_open:
+                    parts.append("\n")
+                    line_open = False
+                pending.clear()
+        else:
+            i += 1
+    emit(newline=False)
     text = "".join(parts)
     # PDF pages end without trailing breaks; normalize stray CRs
     return text.replace("\r\n", "\n").replace("\r", "\n").strip("\n")

@@ -23,6 +23,7 @@ Content mix (FIXTURES.md §1):
 from __future__ import annotations
 
 import random
+import zlib
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta
 
@@ -203,6 +204,56 @@ def _pdf_pages(rng: random.Random, i: int, n_docs: int) -> tuple[list[str], list
     return pages, golden
 
 
+def _pdf_literal(line: str) -> bytes:
+    esc = line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    return b"(" + esc.encode("latin-1") + b")"
+
+
+def real_pdf_bytes(pages: list[str]) -> bytes | None:
+    """Deterministic minimal REAL PDF carrying `pages` as its text layer
+    (classic catalog -> /Pages -> /Kids tree, one content stream per page;
+    even-numbered pages FlateDecode, odd raw — both decoder paths covered).
+    Returns None when a character falls outside latin-1 (caller keeps the
+    fake marker bytes for that row)."""
+    try:
+        objs: list[tuple[int, bytes]] = []
+        kid_refs = []
+        next_num = 3
+        for p_idx, page in enumerate(pages):
+            page_num, cont_num = next_num, next_num + 1
+            next_num += 2
+            kid_refs.append(f"{page_num} 0 R".encode())
+            ops = b"BT /F1 12 Tf "
+            for j, line in enumerate(page.split("\n")):
+                if j > 0:
+                    ops += b"0 -14 Td "
+                ops += _pdf_literal(line) + b" Tj "
+            raw = ops + b"ET"
+            if p_idx % 2 == 0:
+                data, filt = zlib.compress(raw), b" /Filter /FlateDecode"
+            else:
+                data, filt = raw, b""
+            objs.append(
+                (page_num, b"<< /Type /Page /Parent 2 0 R /Contents "
+                 + f"{cont_num} 0 R".encode() + b" >>")
+            )
+            objs.append(
+                (cont_num, b"<< /Length " + str(len(data)).encode() + filt
+                 + b" >>\nstream\n" + data + b"\nendstream")
+            )
+        head = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [" + b" ".join(kid_refs)
+             + b"] /Count " + str(len(pages)).encode() + b" >>"),
+        ]
+        out = b"%PDF-1.4\n"
+        for num, payload in head + objs:
+            out += f"{num} 0 obj\n".encode() + payload + b"\nendobj\n"
+        return out + b"%%EOF\n"
+    except UnicodeEncodeError:
+        return None
+
+
 def make_pages(n: int, seed: int = 42) -> list[Page]:
     """Generate n deterministic pages (seed fixed -> byte-stable)."""
     rng = random.Random(seed)
@@ -228,11 +279,19 @@ def make_pages(n: int, seed: int = 42) -> list[Page]:
                             [(1, "\n".join(blocks))]))
             continue
         if r < 0.17:
-            # PDF path: multi-doc with separators (~10%)
+            # PDF path: multi-doc with separators (~10%).  Even indexes get
+            # REAL minimal PDF bytes (parsed by extraction.pdftext); odd keep
+            # the fake marker + text layer (the fallback path).  Index-based
+            # choice keeps the rng stream — and thus every other row —
+            # byte-stable across generator versions.
             n_docs = 2 + rng.randrange(3)
             pages, golden = _pdf_pages(rng, i, n_docs)
             text = "\f".join(pages)
             html = b"%PDF-1.4 synthetic-text-layer"
+            if i % 2 == 0:
+                real = real_pdf_bytes(pages)
+                if real is not None:
+                    html = real
             out.append(Page(url, ts, html, text, "es", golden))
             continue
         # HTML path (dominant)
