@@ -38,16 +38,43 @@ MAX_BUCKET = 64  # cap LSH bucket size — degenerate-bucket skew guard
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set (distinct) of the canonical text."""
-    toks = F.split(normalize_for_fingerprint(col), " ")
+    """Word n-gram shingle set (distinct) of the canonical text.
+
+    Prefer with_shingles() in operators: this Column form captures the
+    tokenization INSIDE the gram lambda, so a higher-order-function engine
+    re-evaluates the split+regex per gram — O(len^2) per row.  Kept for
+    one-shot/explode call sites where the array is a direct child."""
+    return _shingles_of(F.split(normalize_for_fingerprint(col), " "), n)
+
+
+def _shingles_of(toks: Column, n: int = 3) -> Column:
+    """Shingle set from a token-array column.  O(1) element_at gathers —
+    pass a MATERIALIZED token column to stay O(len) per row.
+    concat_ws skips the NULL element_at overflows at the tail, matching
+    array_join over a shorter slice (single-token fallback identical)."""
     k = F.size(toks) - (n - 1)
     return F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), k - 1),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
             )
         )
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "_sh"
+) -> DataFrame:
+    """df + shingle-set column, with the token array materialized first so
+    per-gram work is O(1) attribute access (the winnowing lesson: anything
+    referenced inside a HOF lambda is re-evaluated per element)."""
+    return (
+        df.withColumn("_shg_toks", F.split(normalize_for_fingerprint(F.col(text_col)), " "))
+        .withColumn(out_col, _shingles_of(F.col("_shg_toks"), n))
+        .drop("_shg_toks")
     )
 
 
@@ -76,8 +103,8 @@ def ngram_jaccard_pairs(
     jaccard = inter / (|A| + |B| - inter).  Exact but quadratic per shingle
     bucket; use minhash_lsh_candidates at scale and this as the verifier.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col).alias("id"), F.explode("_sh").alias("sh")
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -126,9 +153,10 @@ def minhash_signatures(
         mk = lambda i: (lambda s: F.xxhash64(F.lit(i), s))  # noqa: E731
     else:
         mk = lambda i: (lambda s: hash64(F.concat(F.lit(f"{i}|"), s)))  # noqa: E731
-    sh = shingles(F.col(text_col))
+    base = with_shingles(spread_scan(df), text_col)
+    sh = F.col("_sh")
     sig = F.array(*[F.array_min(F.transform(sh, mk(i))) for i in range(k)])
-    return spread_scan(df).select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return base.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -212,10 +240,9 @@ def minhash_near_dups(
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
-    sh = (
-        df.join(cand_ids, F.col(id_col) == F.col("id"), "left_semi")
-        .select(F.col(id_col).alias("id"), shingles(F.col(text_col)).alias("sh"))
-    )
+    sh = with_shingles(
+        df.join(cand_ids, F.col(id_col) == F.col("id"), "left_semi"), text_col
+    ).select(F.col(id_col).alias("id"), F.col("_sh").alias("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sha"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_shb"))
     return (
@@ -236,11 +263,17 @@ def minhash_near_dups(
 
 # --------------------------------------------------------------------------
 def simhash(col: Column, bits: int = 16) -> Column:
-    """SimHash over token hashes: bit_j = sign(sum over tokens of
-    (hash(token) bit_j ? +1 : -1)).  `bits` kept small (16) so the oracle
-    CASE-expression stays tractable; production uses 64."""
+    """SimHash over token hashes (Column form — prefer with_simhash in
+    operators: here the md5 token-hash array sits inside each of the `bits`
+    aggregate passes, so it is re-hashed per bit)."""
     toks = F.array_distinct(F.split(normalize_for_fingerprint(col), " "))
-    hashes = F.transform(toks, lambda t: hash64(t))
+    return _simhash_of(F.transform(toks, lambda t: hash64(t)), bits)
+
+
+def _simhash_of(hashes: Column, bits: int = 16) -> Column:
+    """bit_j = sign(sum over token hashes of (bit_j set ? +1 : -1)).
+    `bits` kept small (16) so the oracle CASE-expression stays tractable;
+    production uses 64."""
     out = F.lit(0).cast("bigint")
     for j in range(bits):
         votes = F.aggregate(
@@ -253,6 +286,21 @@ def simhash(col: Column, bits: int = 16) -> Column:
     return out
 
 
+def with_simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 16, out_col: str = "sh"
+) -> DataFrame:
+    """df + simhash column, with the token-hash array MATERIALIZED once so
+    the `bits` per-bit vote aggregates read an attribute instead of
+    re-hashing every token per bit (16x less md5 work per row)."""
+    toks = F.array_distinct(F.split(normalize_for_fingerprint(F.col(text_col)), " "))
+    return (
+        df.withColumn("_simh_toks", toks)
+        .withColumn("_simh_h", F.transform(F.col("_simh_toks"), lambda t: hash64(t)))
+        .withColumn(out_col, _simhash_of(F.col("_simh_h"), bits))
+        .drop("_simh_toks", "_simh_h")
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -263,7 +311,9 @@ def simhash_near_dups(
     """Near-dup pairs by simhash hamming distance <= max_hamming.
     Scale path: block on the high byte of the simhash (near-dups almost
     always share it for small hamming radii), then verify in-bucket."""
-    s = spread_scan(df).select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
+    s = with_simhash(spread_scan(df), text_col, bits).select(
+        F.col(id_col).alias("id"), "sh"
+    )
     s = s.withColumn("blk", F.shiftright(F.col("sh"), bits - 8))
     a, b = s.alias("a"), s.alias("b")
     return (

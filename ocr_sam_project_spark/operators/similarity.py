@@ -106,6 +106,58 @@ def deterministic_planes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
+def rhp_signature_table(
+    df: DataFrame,
+    n_planes: int = 6,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    sig_col: str = "_sig",
+) -> DataFrame:
+    """df + RHP sign-signature column — the INGEST half of the scale
+    deployment: signatures are computed once and stored (e.g. a parquet /
+    Iceberg column, ideally partitioned or z-ordered by signature), so each
+    query probe reads only matching buckets instead of re-hashing 10^9+
+    vectors per query."""
+    from .skew import spread_scan
+
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).first().d
+    planes = deterministic_planes(dim, n_planes)
+    return spread_scan(df).withColumn(sig_col, rhp_signature(F.col(vec_col), planes))
+
+
+def query_probe_sigs(query_vec: list[float], n_planes: int = 6, multiprobe: int = 1) -> list[int]:
+    """Signature bucket(s) a query probes: its own sign bits + `multiprobe`
+    single-bit flips (driver-side arithmetic, no Spark)."""
+    planes = deterministic_planes(len(query_vec), n_planes)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qsig += 2**i
+    probe = {qsig}
+    if multiprobe >= 1:
+        probe |= {qsig ^ (1 << b) for b in range(n_planes)}
+    return sorted(probe)
+
+
+def topk_cosine_lsh_probe(
+    sig_df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    multiprobe: int = 1,
+    sig_col: str = "_sig",
+) -> DataFrame:
+    """QUERY half over a materialized signature table: filter to the probe
+    buckets (a pushdown-able equality-set predicate on a stored column),
+    exact cosine top-k inside the ~(multiprobe+1)/2^planes slice."""
+    probe = query_probe_sigs(query_vec, n_planes, multiprobe)
+    cand = sig_df.filter(F.col(sig_col).isin(probe))
+    return topk_cosine(cand.drop(sig_col), query_vec, k, id_col, vec_col)
+
+
 def topk_cosine_lsh(
     df: DataFrame,
     query_vec: list[float],
@@ -115,24 +167,16 @@ def topk_cosine_lsh(
     n_planes: int = 6,
     multiprobe: int = 1,
 ) -> DataFrame:
-    """Scale path: restrict the brute-force scan to vectors whose RHP
-    signature is within `multiprobe` bit flips of the query's, then exact
-    top-k inside the candidate set.  Recall < 1.0 by construction; raise
-    n_planes/multiprobe to trade cost for recall."""
-    dim = len(query_vec)
-    planes = deterministic_planes(dim, n_planes)
-    qsig = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
-            qsig += 2**i
-    probe_sigs = {qsig}
-    if multiprobe >= 1:
-        probe_sigs |= {qsig ^ (1 << b) for b in range(n_planes)}
-    from .skew import spread_scan
-
-    sig = rhp_signature(F.col(vec_col), planes)
-    cand = spread_scan(df).withColumn("_sig", sig).filter(F.col("_sig").isin(list(probe_sigs)))
-    return topk_cosine(cand.drop("_sig"), query_vec, k, id_col, vec_col)
+    """Scale path, single-shot form (signature pass fused into the query):
+    restrict the brute-force scan to vectors whose RHP signature is within
+    `multiprobe` bit flips of the query's, then exact top-k inside the
+    candidate set.  Recall < 1.0 by construction; raise n_planes/multiprobe
+    to trade cost for recall.  For many queries over one corpus, materialize
+    rhp_signature_table once and use topk_cosine_lsh_probe instead."""
+    sig_df = rhp_signature_table(df, n_planes, len(query_vec), vec_col)
+    return topk_cosine_lsh_probe(
+        sig_df, query_vec, k, id_col, vec_col, n_planes, multiprobe
+    )
 
 
 def ivf_assign(

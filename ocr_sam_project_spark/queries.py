@@ -1011,11 +1011,11 @@ QUERY_FNS["d_ngram_jaccard"] = _d_jaccard_fn
 
 
 def _d_simhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import simhash
+    from .operators.dedup import with_simhash
     from .operators.skew import spread_scan
 
     df = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    return df.select("doc_id", simhash(F.col("text"), bits=16).alias("sh"))
+    return with_simhash(df, "text", bits=16).select("doc_id", "sh")
 
 
 def _d_simhash_duck(bits: int = 16) -> str:

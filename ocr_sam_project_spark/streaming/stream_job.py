@@ -19,6 +19,7 @@ state if windowed rollups are added downstream.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..pipeline.schema import PAGES_SCHEMA
@@ -34,6 +35,27 @@ def read_pages_stream(
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
+    )
+
+
+def windowed_page_counts(
+    pages: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Event-time tumbling-window page counts with a watermark bounding
+    state — the late-data policy for streaming rollups (ingest-rate metrics,
+    the CloudWatch dashboard analog): a window finalizes once the watermark
+    (max event time - `watermark`) passes its end, and rows arriving later
+    than that are DROPPED rather than reopening emitted results.
+
+    Works on a streaming OR batch `pages` frame (withWatermark is a no-op in
+    batch), keeping the one-code-path property."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"), "n_pages")
     )
 
 

@@ -46,3 +46,66 @@ def test_stream_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == n_before
 
     shutil.rmtree(in_dir, ignore_errors=True)
+
+
+@pytest.mark.timeout(300)
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time windowed rollup with watermark: a row arriving AFTER its
+    window finalized is dropped — the emitted count never changes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from ocr_sam_project_spark.sources.io import PAGES_ARROW_SCHEMA
+    from ocr_sam_project_spark.streaming.stream_job import windowed_page_counts
+
+    def page(i, ts):
+        return {
+            "url": f"wm://{i}", "warc_ts": ts,
+            "html": None, "text": f"texto {i}", "lang": "es",
+        }
+
+    T = lambda m: datetime(2025, 1, 1, 10, m)  # noqa: E731
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # batch 1: three rows in window [10:00,10:10) + one at 10:20 that pushes
+    # the watermark past 10:10, finalizing the first window at count=3
+    rows1 = [page(0, T(1)), page(1, T(4)), page(2, T(9)), page(3, T(20))]
+    pq.write_table(pa.Table.from_pylist(rows1, schema=PAGES_ARROW_SCHEMA),
+                   str(in_dir / "b1.parquet"))
+
+    pages = (
+        spark.readStream.schema("url string, warc_ts timestamp, html binary,"
+                                " text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        windowed_page_counts(pages, window="10 minutes", watermark="0 seconds")
+        .writeStream.format("memory").queryName("wm_counts")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r.win_start.minute, r.n_pages)
+            for r in spark.sql("SELECT * FROM wm_counts").collect()
+        }
+        assert (0, 3) in got1, f"first window should finalize at 3, got {got1}"
+
+        # batch 2: one LATE row for the closed [10:00,10:10) window (dropped)
+        # + one at 10:31 advancing the watermark past 10:30
+        rows2 = [page(4, T(5)), page(5, T(31))]
+        pq.write_table(pa.Table.from_pylist(rows2, schema=PAGES_ARROW_SCHEMA),
+                       str(in_dir / "b2.parquet"))
+        q.processAllAvailable()
+        final = {
+            (r.win_start.minute, r.n_pages)
+            for r in spark.sql("SELECT * FROM wm_counts").collect()
+        }
+    finally:
+        q.stop()
+    # the late 10:05 row did NOT reopen/augment the finalized window...
+    assert (0, 3) in final and (0, 4) not in final
+    # ...and the 10:20 window finalized (count 1) once the watermark passed
+    assert (20, 1) in final
