@@ -1254,6 +1254,66 @@ def _pipeline_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERY_FNS["pipeline_extract"] = _pipeline_fn
 
 
+def _pipeline_parity_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP-path hash parity: the REAL Arrow extraction pipeline
+    (mapInPandas: segment -> classify -> regex banks -> normalize -> X8
+    enrich) vs a pure-SQL twin.  Possible because the synthesized header is
+    the only digit/keyword-bearing content (the word-salad body has neither
+    — verified per SF), so every extracted value is a closed-form function
+    of doc_id."""
+    from .pipeline.stages import extract_stage
+
+    ext = extract_stage(_docs_as_pages(spark, sf_dir))
+    return ext.select(
+        "url",
+        "doc_type",
+        "numero_oficio",
+        "fecha",
+        F.round("monto_total", 2).alias("monto_total"),
+        "n_personas",
+    )
+
+
+def _pipeline_parity_duck() -> str:
+    lt = _legal_text("doc_id")
+    month_no = _case_mod("doc_id", [f"{m + 1:02d}" for m in range(12)])
+    return f"""
+    WITH t AS (SELECT doc_id, {lt} AS lt FROM documents)
+    SELECT concat('doc://', CAST(doc_id AS STRING)) AS url,
+           {_classify_case("lt")} AS doc_type,
+           concat('JE-', CAST(doc_id % 9000 + 100 AS STRING), '-2025') AS numero_oficio,
+           concat('2025-', {month_no}, '-', lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0')) AS fecha,
+           CAST(1000 + (doc_id % 9 + 1) * 100 AS DOUBLE) AS monto_total,
+           1 AS n_personas
+    FROM t"""
+
+
+QUERY_FNS["pipeline_fields_parity"] = _pipeline_parity_fn
+ORACLES["pipeline_fields_parity"] = _pipeline_parity_duck()
+
+
+def _pipeline_cedulas_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All cedula occurrences through the REAL pipeline's fields_long
+    (multi-valued X1 bank with spans) vs regexp_extract_all in SQL."""
+    from .pipeline.stages import extract_stage, fields_long
+
+    long = fields_long(extract_stage(_docs_as_pages(spark, sf_dir)))
+    return long.filter(F.col("field") == "cedula").select("url", "value")
+
+
+def _pipeline_cedulas_duck() -> str:
+    lt = _legal_text("doc_id")
+    return f"""
+    WITH t AS (SELECT doc_id, concat({lt}, ' ', text) AS ft FROM documents)
+    SELECT concat('doc://', CAST(doc_id AS STRING)) AS url,
+           unnest(regexp_extract_all(ft, '\\b\\d{{1,2}}-\\d{{1,4}}-\\d{{1,4}}\\b')) AS value
+    FROM t"""
+
+
+QUERY_FNS["pipeline_cedulas"] = _pipeline_cedulas_fn
+ORACLES["pipeline_cedulas"] = _pipeline_cedulas_duck()
+
+
 def _pipeline_fields_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.stages import extract_stage, fields_long
 
