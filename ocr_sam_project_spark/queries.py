@@ -1314,6 +1314,60 @@ QUERY_FNS["pipeline_cedulas"] = _pipeline_cedulas_fn
 ORACLES["pipeline_cedulas"] = _pipeline_cedulas_duck()
 
 
+def _pipeline_text_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north_rule invariant, driver-hash-verified: byte-identical
+    extracted text per url through the REAL pipeline (boilerplate/segment
+    path included) vs the closed-form input expression."""
+    from .pipeline.stages import extract_stage
+
+    ext = extract_stage(_docs_as_pages(spark, sf_dir))
+    return ext.select("url", "extracted_text")
+
+
+def _pipeline_text_duck() -> str:
+    lt = _legal_text("doc_id")
+    return (
+        f"SELECT concat('doc://', CAST(doc_id AS STRING)) AS url,"
+        f" concat({lt}, ' ', text) AS extracted_text FROM documents"
+    )
+
+
+QUERY_FNS["pipeline_text_parity"] = _pipeline_text_fn
+ORACLES["pipeline_text_parity"] = _pipeline_text_duck()
+
+
+def _pipeline_entities_parity_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRM person sink (K8: v2 name split + safe_string + money clamp)
+    through the REAL pipeline, spans excluded (offsets have no SQL twin)."""
+    from .pipeline.crm import case_entities_projection
+    from .pipeline.stages import extract_stage
+
+    e = case_entities_projection(extract_stage(_docs_as_pages(spark, sf_dir)))
+    return e.drop("span_start", "span_end")
+
+
+def _pipeline_entities_parity_duck() -> str:
+    nombre = _case_mod("doc_id", _NOMBRES)
+    return f"""
+    WITH p AS (SELECT doc_id, {nombre} AS nm FROM documents),
+    t AS (SELECT doc_id, nm, string_split(nm, ' ') AS t FROM p)
+    SELECT concat('doc://', CAST(doc_id AS STRING), '#1') AS case_id,
+           1 AS secuencia,
+           nm AS nombre_completo,
+           t[1] AS nombre,
+           CASE WHEN len(t) > 3 THEN array_to_string(t[2:len(t) - 2], ' ') ELSE '' END AS nombre_segundo,
+           CASE WHEN len(t) >= 2 THEN t[len(t) - 1] ELSE '' END AS apellido_paterno,
+           CASE WHEN len(t) >= 3 THEN t[len(t)] ELSE '' END AS apellido_materno,
+           concat(CAST(doc_id % 9 + 1 AS STRING), '-', CAST(doc_id % 90 + 10 AS STRING),
+                  '-', CAST(doc_id % 900 + 100 AS STRING)) AS identificacion,
+           CAST(1000 + (doc_id % 9 + 1) * 100 AS DOUBLE) AS monto
+    FROM t"""
+
+
+QUERY_FNS["pipeline_entities_parity"] = _pipeline_entities_parity_fn
+ORACLES["pipeline_entities_parity"] = _pipeline_entities_parity_duck()
+
+
 def _pipeline_fields_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.stages import extract_stage, fields_long
 
