@@ -1110,6 +1110,58 @@ _M1_DUCK = """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS
 # fast-path twin of the mapInPandas decode stub in operators/multimodal.py.
 _sql("m_binary_features", _M1, _M1_DUCK)
 
+
+def _m_media_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL multimodal Arrow stage (mapInPandas over a binary column,
+    fake deterministic decode) vs an md5-arithmetic DuckDB twin — upgrades
+    multimodal plumbing from pytest-only to driver-hash-verified.  Feature
+    vector flattened to scalar columns (canonicalizer-safe)."""
+    from .operators.multimodal import media_features
+    from .operators.skew import spread_scan
+
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("blob"))
+    feats = media_features(media, "doc_id", "blob", fake=True)
+    return feats.select(
+        "media_id", "n_bytes", "digest", "width", "height",
+        *[F.round(F.col("feature")[i], 6).alias(f"f{i}") for i in range(8)],
+    )
+
+
+def _m_media_duck() -> str:
+    byte = lambda i: f"CAST(concat('0x', substr(md5(text), {2 * i + 1}, 2)) AS INT)"  # noqa: E731
+    fs = ", ".join(f"ROUND({byte(i)} / 255.0, 6) AS f{i}" for i in range(8))
+    return f"""
+    SELECT CAST(doc_id AS STRING) AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest,
+           1 + {byte(0)} % 64 AS width,
+           1 + {byte(1)} % 64 AS height,
+           {fs}
+    FROM documents"""
+
+
+QUERY_FNS["m_media_features"] = _m_media_fn
+ORACLES["m_media_features"] = _m_media_duck()
+
+
+def _m_frames_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import frame_sample_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vids = docs.select("doc_id", (F.col("doc_id") % 300).cast("int").alias("n_frames"))
+    return frame_sample_plan(vids, "doc_id", "n_frames", every_k=30)
+
+
+_M_FRAMES_DUCK = """
+    SELECT CAST(doc_id AS STRING) AS media_id,
+           unnest(generate_series(0, greatest(CAST(doc_id % 300 AS INT) - 1, 0), 30)) AS frame_idx
+    FROM documents"""
+
+# video frame-sampling plan: 1->N metadata explode preceding per-frame decode
+QUERY_FNS["m_frame_sample"] = _m_frames_fn
+ORACLES["m_frame_sample"] = _M_FRAMES_DUCK
+
 def _x8_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8 conditional enrichment injection (post_ocr_validator.py:140-218)
     exercised through the REAL enrich_stage operator: deterministic primary/
