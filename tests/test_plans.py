@@ -93,3 +93,27 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_minhash_signatures_shuffle_free(spark):
+    """r2 design point: signatures are per-row array_min(transform(...)) —
+    NO shingle explode, NO groupBy shuffle (at web scale that shuffle IS
+    the job).  spread_scan may add one round-robin Exchange on tiny local
+    inputs; there must be no aggregate-induced Exchange."""
+    from ocr_sam_project_spark.operators.dedup import minhash_signatures
+
+    df = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('texto numero ', id, ' con palabras repetidas') AS text"
+    )
+    plan = _plan(minhash_signatures(df, fast=True))
+    assert "HashAggregate" not in plan and "Generate" not in plan, plan
+
+
+def test_enrich_stage_is_narrow(spark):
+    """X8 enrichment must add no Exchange: pure per-row expressions."""
+    from ocr_sam_project_spark.pipeline.schema import RAW_EXTRACTION_SCHEMA
+    from ocr_sam_project_spark.pipeline.stages import enrich_stage
+
+    raw = spark.createDataFrame([], RAW_EXTRACTION_SCHEMA)
+    plan = _plan(enrich_stage(raw))
+    assert "Exchange" not in plan, plan
