@@ -1323,21 +1323,35 @@ def _pipeline_parity_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fecha",
         F.round("monto_total", 2).alias("monto_total"),
         "n_personas",
+        "urgente",
+        "priority",
+        "confianza",
+        "validation_passed",
     )
 
 
 def _pipeline_parity_duck() -> str:
     lt = _legal_text("doc_id")
     month_no = _case_mod("doc_id", [f"{m + 1:02d}" for m in range(12)])
+    # urgency/priority (C2/C3): tipo carries a high-priority keyword
+    # (classifier.HIGH_PRIORITY_KEYWORDS, accent-free slugs); montos are
+    # 1100..1900 so the amount branch never fires here.
+    urgent = ("('secuestro_civil', 'embargo', 'aprehension', 'allanamiento',"
+              " 'citacion', 'levantamiento')")
     return f"""
-    WITH t AS (SELECT doc_id, {lt} AS lt FROM documents)
-    SELECT concat('doc://', CAST(doc_id AS STRING)) AS url,
-           {_classify_case("lt")} AS doc_type,
-           concat('JE-', CAST(doc_id % 9000 + 100 AS STRING), '-2025') AS numero_oficio,
-           concat('2025-', {month_no}, '-', lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0')) AS fecha,
-           CAST(1000 + (doc_id % 9 + 1) * 100 AS DOUBLE) AS monto_total,
-           1 AS n_personas
-    FROM t"""
+    WITH t AS (SELECT doc_id, {lt} AS lt FROM documents),
+    c AS (SELECT doc_id, {_classify_case("lt")} AS doc_type FROM t)
+    SELECT concat('doc://', CAST(t.doc_id AS STRING)) AS url,
+           c.doc_type,
+           concat('JE-', CAST(t.doc_id % 9000 + 100 AS STRING), '-2025') AS numero_oficio,
+           concat('2025-', {month_no.replace("doc_id", "t.doc_id")}, '-', lpad(CAST(t.doc_id % 28 + 1 AS STRING), 2, '0')) AS fecha,
+           CAST(1000 + (t.doc_id % 9 + 1) * 100 AS DOUBLE) AS monto_total,
+           1 AS n_personas,
+           c.doc_type IN {urgent} AS urgente,
+           CASE WHEN c.doc_type IN {urgent} THEN 'High' ELSE 'Medium' END AS priority,
+           'alta' AS confianza,
+           true AS validation_passed
+    FROM t JOIN c ON t.doc_id = c.doc_id"""
 
 
 QUERY_FNS["pipeline_fields_parity"] = _pipeline_parity_fn
