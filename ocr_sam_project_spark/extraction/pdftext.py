@@ -58,7 +58,11 @@ def extract_pages(pdf_bytes: bytes) -> list[str]:
 
 _OBJ_HEADER_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+# the negative lookahead rejects INDIRECT length references (`/Length 6 0 R`)
+# — naively capturing the object number as a byte count mis-slices the
+# stream; with no direct /Length the object is out-of-subset and the page
+# degrades to the text-column fallback instead of emitting garbage.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R\b)")
 
 
 def _scan_objects(pdf: bytes) -> dict[int, bytes]:

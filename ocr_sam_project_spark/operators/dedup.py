@@ -235,8 +235,14 @@ def minhash_near_dups(
     (MAX_BUCKET) so the pair list stays linear-ish in near-dup clusters."""
     # the pair list is tiny (bucket-capped) but its lineage is the whole
     # signature+banding DAG; it feeds THREE consumers below (cand_ids and
-    # both sides of the verify join) — persist so signatures compute once.
-    cand = minhash_lsh_candidates(df, text_col, id_col, k, bands, fast=fast).persist()
+    # both sides of the verify join), so it must compute once.
+    # localCheckpoint (not persist): checkpoint blocks are RDD-scoped, so the
+    # ContextCleaner releases them when this DataFrame is GC'd — a plain
+    # .persist() here registers a CacheManager entry that leaks across
+    # repeated calls in one session (bench.py calls this 3+ times).
+    cand = minhash_lsh_candidates(df, text_col, id_col, k, bands, fast=fast).localCheckpoint(
+        eager=False
+    )
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()

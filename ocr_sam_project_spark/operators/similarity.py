@@ -128,12 +128,16 @@ def rhp_signature_table(
 
 def query_probe_sigs(query_vec: list[float], n_planes: int = 6, multiprobe: int = 1) -> list[int]:
     """Signature bucket(s) a query probes: its own sign bits + `multiprobe`
-    single-bit flips (driver-side arithmetic, no Spark)."""
+    single-bit flips (driver-side arithmetic, no Spark).
+
+    The sign bits use the SAME NumPy matmul arithmetic as rhp_signature —
+    a sequential Python sum can round a near-zero plane dot to the opposite
+    sign and silently probe a bucket that disagrees with the stored
+    signature (losing candidates beyond the modeled LSH recall)."""
     planes = deterministic_planes(len(query_vec), n_planes)
-    qsig = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
-            qsig += 2**i
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes) — as rhp_signature
+    bits = (np.asarray(query_vec, dtype=np.float64) @ P) >= 0.0
+    qsig = int(bits @ (1 << np.arange(P.shape[1])).astype(np.int64))
     probe = {qsig}
     if multiprobe >= 1:
         probe |= {qsig ^ (1 << b) for b in range(n_planes)}
@@ -189,32 +193,43 @@ def ivf_assign(
     is the vectors whose hash64(id) is smallest (a frozen pseudo-random
     sample — no RNG).  Returns df + `centroid_id`.
 
-    At scale the centroid table is tiny -> broadcast join; assignment is one
-    narrow pass."""
+    Plan shape: the centroid table is tiny, so it is collected to the driver
+    (n_centroids rows) and inlined as literals; the assignment is then ONE
+    narrow per-row argmax — no crossJoin, no window (a full-sort shuffle),
+    no re-join of the input.  The r2 form paid a row_number() window plus a
+    second join of the full df; at 10^9 vectors those were the whole job.
+
+    Deterministic argmax for cross-engine parity: sim rounded to 6 dp, ties
+    broken on smallest cid — array_max over (sim, -cid) structs compares
+    fieldwise, so max sim wins, then max(-cid) = smallest cid."""
     from .skew import spread_scan
 
-    cent = (
+    cent_rows = (
         df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .withColumn("_h", hash64(F.col("cid").cast("string")))
         .orderBy("_h")
         .limit(n_centroids)
         .drop("_h")
+        .collect()
     )
-    df = spread_scan(df)
-    joined = df.crossJoin(F.broadcast(cent)).withColumn(
-        "_d", F.round(cosine(F.col(vec_col), F.col("cvec")), 6)
+    cands = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(
+                        F.col(vec_col), F.array(*[F.lit(float(x)) for x in r.cvec])
+                    ),
+                    6,
+                ).alias("sim"),
+                F.lit(-int(r.cid)).alias("negcid"),
+            )
+            for r in cent_rows
+        ]
     )
-    # deterministic argmax: round to 6 dp then break ties on smallest cid
-    # (max_by has no tie order; cross-engine parity needs one)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.col("_d").desc(), F.col("cid").asc())
-    best = (
-        joined.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(id_col, F.col("cid").alias("centroid_id"))
+    best = F.array_max(cands)
+    return spread_scan(df).withColumn(
+        "centroid_id", (-best["negcid"]).cast("bigint")
     )
-    return df.join(best, id_col)
 
 
 def near_dup_cosine(

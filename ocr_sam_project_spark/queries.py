@@ -35,16 +35,20 @@ ORACLES: dict[str, str] = {}
 
 # view-registration memo: re-reading 10 parquet footers (file listing +
 # schema) per query call dominates small-query latency (the j1 anomaly in
-# BENCH_r01).  Keyed per-session; re-registers only when sf_dir changes.
-_LOADED: dict[int, str] = {}
+# BENCH_r01).  Keyed on the SESSION OBJECT (weakly) — not id(spark), which a
+# GC'd session's address could alias — so a torn-down session's entry dies
+# with it and a fresh session always re-registers its views.
+import weakref
+
+_LOADED: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionary()
 
 
 def _load(spark: SparkSession, sf_dir: str) -> None:
-    if _LOADED.get(id(spark)) == sf_dir:
+    if _LOADED.get(spark) == sf_dir:
         return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
-    _LOADED[id(spark)] = sf_dir
+    _LOADED[spark] = sf_dir
 
 
 def _sql(name: str, spark_sql: str, duck_sql: str | None) -> None:

@@ -71,6 +71,20 @@ def test_kids_order_beats_object_order():
     assert pdftext.extract_pages(swapped) == ["segunda", "primera"]
 
 
+def test_indirect_length_does_not_misslice():
+    """`/Length 6 0 R` (an indirect reference) must NOT be read as a 6-byte
+    stream length — naively doing so slices the stream mid-way and emits
+    garbage partial text.  An indirect /Length is out-of-subset: the object
+    scan falls back to the nearest endobj, which still frames a PLAIN-text
+    stream correctly (compressed ones fail zlib and degrade to [])."""
+    pdf = mini_pdf([["contenido legible de la pagina"]])
+    raw_len = b"/Length " + str(len(_content(["contenido legible de la pagina"]))).encode()
+    hacked = pdf.replace(raw_len, b"/Length 6 0 R /Foo")
+    assert raw_len in pdf and b"/Length 6 0 R" in hacked
+    # plain stream + nearest-endobj fallback -> full text, not a 6-byte slice
+    assert pdftext.extract_pages(hacked) == ["contenido legible de la pagina"]
+
+
 def test_garbage_pdf_yields_empty():
     assert pdftext.extract_pages(b"%PDF-1.4 synthetic-text-layer") == []
     assert pdftext.extract_pages(b"%PDF-1.4\n1 0 obj << >>\nendobj\n") == []

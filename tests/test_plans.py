@@ -109,6 +109,20 @@ def test_minhash_signatures_shuffle_free(spark):
     assert "HashAggregate" not in plan and "Generate" not in plan, plan
 
 
+def test_ivf_assign_is_narrow(spark):
+    """IVF coarse assignment is ONE narrow per-row argmax over inlined
+    centroid literals — no window (full-sort shuffle), no re-join of the
+    input, no aggregate.  The r2 form paid row_number() + a second join;
+    at 10^9 vectors those were the whole job."""
+    from ocr_sam_project_spark.operators.similarity import ivf_assign
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(ivf_assign(df, n_centroids=4))
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
 def test_enrich_stage_is_narrow(spark):
     """X8 enrichment must add no Exchange: pure per-row expressions."""
     from ocr_sam_project_spark.pipeline.schema import RAW_EXTRACTION_SCHEMA

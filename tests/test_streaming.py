@@ -6,11 +6,35 @@ from __future__ import annotations
 import os
 import shutil
 
+import threading
+
 import pytest
 from pyspark.sql import functions as F
 
 
-@pytest.mark.timeout(300)
+def _process_all(q, timeout_sec: int = 240) -> None:
+    """processAllAvailable with a REAL deadline: pytest-timeout is not
+    installed (a bare @pytest.mark.timeout was a silent no-op), so a hung
+    streaming query would stall the whole suite.  Runs the blocking call on
+    a worker thread; on expiry stops the query and fails the test."""
+    err: list[BaseException] = []
+
+    def run():
+        try:
+            q.processAllAvailable()
+        except BaseException as e:  # surfaced after join
+            err.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_sec)
+    if t.is_alive():
+        q.stop()
+        pytest.fail(f"streaming query hung > {timeout_sec}s")
+    if err:
+        raise err[0]
+
+
 def test_stream_matches_batch(spark, tmp_path):
     from ocr_sam_project_spark.pipeline.stages import extract_stage
     from ocr_sam_project_spark.sources.io import write_pages_parquet
@@ -26,7 +50,7 @@ def test_stream_matches_batch(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     q = start_extraction_stream(spark, in_dir, out_dir, ckpt, pages_per_doc=1)
     try:
-        q.processAllAvailable()
+        _process_all(q)
     finally:
         q.stop()
 
@@ -40,7 +64,7 @@ def test_stream_matches_batch(spark, tmp_path):
     n_before = streamed.count()
     q2 = start_extraction_stream(spark, in_dir, out_dir, ckpt, pages_per_doc=1)
     try:
-        q2.processAllAvailable()
+        _process_all(q2)
     finally:
         q2.stop()
     assert spark.read.parquet(out_dir).count() == n_before
@@ -48,7 +72,6 @@ def test_stream_matches_batch(spark, tmp_path):
     shutil.rmtree(in_dir, ignore_errors=True)
 
 
-@pytest.mark.timeout(300)
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Event-time windowed rollup with watermark: a row arriving AFTER its
     window finalized is dropped — the emitted count never changes."""
@@ -86,7 +109,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         .outputMode("append").start()
     )
     try:
-        q.processAllAvailable()
+        _process_all(q)
         got1 = {
             (r.win_start.minute, r.n_pages)
             for r in spark.sql("SELECT * FROM wm_counts").collect()
@@ -98,7 +121,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         rows2 = [page(4, T(5)), page(5, T(31))]
         pq.write_table(pa.Table.from_pylist(rows2, schema=PAGES_ARROW_SCHEMA),
                        str(in_dir / "b2.parquet"))
-        q.processAllAvailable()
+        _process_all(q)
         final = {
             (r.win_start.minute, r.n_pages)
             for r in spark.sql("SELECT * FROM wm_counts").collect()
