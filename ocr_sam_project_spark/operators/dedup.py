@@ -268,6 +268,113 @@ def minhash_near_dups(
 
 
 # --------------------------------------------------------------------------
+def resolve_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Near-dup cluster resolution: candidate PAIRS -> connected components
+    -> one canonical keep-id per cluster (the smallest id, mirroring
+    exact_dedup's keep-smallest semantics).  Returns (doc_id, canonical_id)
+    for every id that appears in a pair; docs in no pair are implicitly
+    their own canon (see dedup_keep).
+
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round every node takes min(own label, neighbors' labels), then
+    label := label(label) (path halving), so convergence is O(log diameter)
+    join rounds, not O(diameter).  Each round localCheckpoints (truncating
+    the exponentially growing lineage — the classic iterative-Spark trap)
+    and the loop exits on a zero-changes round.  At web scale each round is
+    two key-shuffles over the PAIR graph only (bucket-capped by the LSH
+    stage, so |edges| is linear-ish in near-dup clusters, not the corpus).
+    """
+    import warnings
+
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lab = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    converged = False
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                lab.select(F.col("id").alias("b"), F.col("lbl").alias("nlbl")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("nlbl").alias("nmin"))
+            .select(F.col("a").alias("id"), "nmin")
+        )
+        new = lab.join(nbr, "id", "left").select(
+            "id", F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl")
+        )
+        # pointer jump (path halving): lbl <- label(lbl); labels are always
+        # node ids, so `new` doubles as the lookup table
+        m = new.select(F.col("id").alias("_mid"), F.col("lbl").alias("_mlbl"))
+        new = (
+            new.join(m, new["lbl"] == m["_mid"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("_mlbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        warnings.warn(
+            f"resolve_clusters: not converged after {max_iter} rounds; "
+            "labels are an upper approximation (some clusters may be split)",
+            stacklevel=2,
+        )
+    return lab.select(F.col("id").alias("doc_id"), F.col("lbl").alias("canonical_id"))
+
+
+def dedup_keep(
+    df: DataFrame,
+    method: str = "exact",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One canonical row per duplicate cluster — the keep-one semantic a
+    training-corpus dedup actually needs (pairs alone don't dedup anything).
+
+    exact:   md5-group, keep smallest id (one hash-shuffle).
+    minhash: banded-LSH candidate pairs -> Jaccard verify ->
+             connected components -> drop every non-canonical member.
+    Docs in no duplicate relation always survive (left_anti on losers)."""
+    if method == "exact":
+        keep = exact_dedup(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+        return df.join(keep, id_col, "left_semi")
+    if method == "minhash":
+        pairs = minhash_near_dups(df, text_col, id_col, threshold=threshold)
+        losers = (
+            resolve_clusters(pairs)
+            .filter(F.col("doc_id") != F.col("canonical_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        return df.join(losers, id_col, "left_anti")
+    raise ValueError(f"unknown dedup method {method!r} (want 'exact' or 'minhash')")
+
+
+# --------------------------------------------------------------------------
 def simhash(col: Column, bits: int = 16) -> Column:
     """SimHash over token hashes (Column form — prefer with_simhash in
     operators: here the md5 token-hash array sits inside each of the `bits`

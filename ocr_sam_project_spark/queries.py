@@ -1539,6 +1539,35 @@ QUERY_FNS["d_minhash_lsh_portable"] = _d_lsh_portable_fn
 ORACLES["d_minhash_lsh_portable"] = _d_lsh_portable_duck()
 
 
+def _d_lsh_clusters_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> groups -> keep-id: the portable LSH near-dup pairs resolved
+    to connected components with one canonical id (smallest) per cluster —
+    what a corpus dedup actually consumes.  Oracle: DuckDB recursive CTE
+    computing the transitive closure over the SAME pair set."""
+    from .operators.dedup import minhash_near_dups, resolve_clusters
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_near_dups(df, threshold=0.5, k=8, bands=4, fast=False)
+    return resolve_clusters(pairs)
+
+
+def _d_lsh_clusters_duck() -> str:
+    return f"""
+    WITH RECURSIVE base AS (SELECT id_a, id_b FROM ({_d_lsh_portable_duck()}) t),
+    edges AS (SELECT id_a AS a, id_b AS b FROM base
+              UNION SELECT id_b, id_a FROM base),
+    walk AS (
+        SELECT a AS id, a AS reach FROM edges
+        UNION
+        SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+    )
+    SELECT id AS doc_id, MIN(reach) AS canonical_id FROM walk GROUP BY id"""
+
+
+QUERY_FNS["d_lsh_clusters"] = _d_lsh_clusters_fn
+ORACLES["d_lsh_clusters"] = _d_lsh_clusters_duck()
+
+
 def _d_simhash_nd_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_dups
 

@@ -46,6 +46,45 @@ def test_minhash_lsh_recalls_exact_dups(docs):
     assert (1, 4) not in pairs
 
 
+def test_resolve_clusters_chain_collapses(spark):
+    """A-B, B-C (no direct A-C edge) must collapse into ONE cluster with the
+    smallest id canonical; a disjoint pair forms its own cluster."""
+    from ocr_sam_project_spark.operators.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a bigint, id_b bigint"
+    )
+    got = {(r.doc_id, r.canonical_id) for r in resolve_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+
+
+def test_resolve_clusters_long_path_converges(spark):
+    """A 40-node path graph — worst diameter shape — converges within the
+    default pointer-jumping round budget to a single min-id cluster."""
+    from ocr_sam_project_spark.operators.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint"
+    )
+    rows = resolve_clusters(pairs).collect()
+    assert {r.canonical_id for r in rows} == {0}
+    assert len(rows) == 41
+
+
+def test_dedup_keep_minhash_keeps_one_per_cluster(docs):
+    """dedup_keep drops every non-canonical near-dup member and keeps all
+    docs that are in no duplicate relation (the training-corpus keep-one)."""
+    from ocr_sam_project_spark.operators.dedup import dedup_keep, minhash_near_dups, resolve_clusters
+
+    pairs = minhash_near_dups(docs, threshold=0.4)
+    clusters = resolve_clusters(pairs)
+    losers = {r.doc_id for r in clusters.collect() if r.doc_id != r.canonical_id}
+    kept = {r.doc_id for r in dedup_keep(docs, "minhash", threshold=0.4).collect()}
+    everyone = {r.doc_id for r in docs.collect()}
+    assert kept == everyone - losers
+    assert 1 in kept and {2, 6}.isdisjoint(kept)  # 1≡2≡6 cluster -> keep 1
+
+
 def test_simhash_hamming(docs):
     from ocr_sam_project_spark.operators.dedup import simhash_near_dups
 
