@@ -183,6 +183,38 @@ def topk_cosine_lsh(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic centroid rows (cid, cvec): the vectors whose
+    hash64(id) is smallest — a frozen pseudo-random sample, no RNG state.
+    Driver-side by design: the centroid table is tiny at any corpus size."""
+    return (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .withColumn("_h", hash64(F.col("cid").cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .drop("_h")
+        .collect()
+    )
+
+
+def _cos_py(u, v) -> float:
+    """Driver-side cosine with SEQUENTIAL float64 sums — the same fold order
+    as F.aggregate and DuckDB list_dot_product, so centroid rankings agree
+    across engines; rounded to 6 dp like every stored sim."""
+    d = nu = nv = 0.0
+    for a, b in zip(u, v):
+        a, b = float(a), float(b)
+        d += a * b
+        nu += a * a
+        nv += b * b
+    return round(d / ((nu**0.5) * (nv**0.5)), 6)
+
+
 def ivf_assign(
     df: DataFrame,
     n_centroids: int = 16,
@@ -204,14 +236,7 @@ def ivf_assign(
     fieldwise, so max sim wins, then max(-cid) = smallest cid."""
     from .skew import spread_scan
 
-    cent_rows = (
-        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .withColumn("_h", hash64(F.col("cid").cast("string")))
-        .orderBy("_h")
-        .limit(n_centroids)
-        .drop("_h")
-        .collect()
-    )
+    cent_rows = ivf_centroids(df, n_centroids, id_col, vec_col)
     cands = F.array(
         *[
             F.struct(
@@ -230,6 +255,41 @@ def ivf_assign(
     return spread_scan(df).withColumn(
         "centroid_id", (-best["negcid"]).cast("bigint")
     )
+
+
+def ivf_search(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned_col: str | None = None,
+) -> DataFrame:
+    """QUERY half of IVF (the half a user actually calls): rank centroids by
+    query cosine, scan ONLY the `nprobe` nearest centroids' posting lists,
+    exact cosine top-k inside.  Recall < 1.0 by construction (a true
+    neighbor assigned to an unprobed centroid is missed); raise nprobe to
+    trade cost for recall.
+
+    Deployment shape at scale: run ivf_assign once at ingest and store
+    `centroid_id` (ideally as a partition/cluster key, so the probe filter
+    below becomes partition PRUNING, not even a scan+filter) — then pass the
+    stored table with assigned_col="centroid_id".  Called without it, the
+    assignment pass is fused in (bench/small-corpus convenience)."""
+    if assigned_col is None:
+        adf = ivf_assign(df, n_centroids, id_col, vec_col)
+        assigned_col = "centroid_id"
+    else:
+        adf = df
+    ranked = sorted(
+        ivf_centroids(df, n_centroids, id_col, vec_col),
+        key=lambda r: (-_cos_py(query_vec, r.cvec), int(r.cid)),
+    )
+    probe = [int(r.cid) for r in ranked[:nprobe]]
+    cand = adf.filter(F.col(assigned_col).isin(probe)).drop(assigned_col)
+    return topk_cosine(cand, query_vec, k, id_col, vec_col)
 
 
 def near_dup_cosine(

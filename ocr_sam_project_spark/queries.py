@@ -1631,3 +1631,45 @@ def _s_ivf_duck(n_centroids: int = 8) -> str:
 # argmax-cosine assignment — exact DuckDB twin (rounded sim + cid tie-break).
 QUERY_FNS["s_ivf_assign"] = _s_ivf_fn
 ORACLES["s_ivf_assign"] = _s_ivf_duck()
+
+
+def _s_ivf_search_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF QUERY half: probe the nprobe=2 centroids nearest the query (the
+    vec_id=0 embedding), exact cosine top-k inside their posting lists only.
+    Deterministic end to end (md5-sampled centroids, 6-dp rounding, id
+    tie-breaks) -> exact DuckDB twin."""
+    from .operators.similarity import ivf_search
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in df.filter(F.col("vec_id") == 0).first().embedding]
+    return ivf_search(df, qv, k=10, nprobe=2, n_centroids=8)
+
+
+def _s_ivf_search_duck(n_centroids: int = 8, nprobe: int = 2, k: int = 10) -> str:
+    cos = lambda a, b: (  # noqa: E731
+        f"ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings
+                  ORDER BY {_H_DUCK.format(x="CAST(vec_id AS VARCHAR)")} LIMIT {n_centroids}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qa FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings),
+    d AS (SELECT e.vec_id, c.cid, {cos("ea", "ca")} AS sim FROM e CROSS JOIN cent c),
+    best AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk
+               FROM d) t WHERE rk = 1),
+    crank AS (SELECT cid FROM (
+               SELECT c.cid,
+                      ROW_NUMBER() OVER (ORDER BY {cos("qa", "ca")} DESC, c.cid ASC) AS rk
+               FROM cent c CROSS JOIN q) t WHERE rk <= {nprobe})
+    SELECT e.vec_id, {cos("ea", "qa")} AS sim
+    FROM e JOIN best b ON b.vec_id = e.vec_id
+           JOIN crank p ON p.cid = b.cid
+           CROSS JOIN q
+    ORDER BY sim DESC, e.vec_id ASC LIMIT {k}"""
+
+
+QUERY_FNS["s_ivf_search"] = _s_ivf_search_fn
+ORACLES["s_ivf_search"] = _s_ivf_search_duck()

@@ -94,6 +94,36 @@ def test_simhash_hamming(docs):
         assert pairs[(1, 3)] <= pairs[(1, 4)]
 
 
+def test_ivf_search_probes_posting_lists(spark):
+    """ivf_search touches only the nprobe nearest posting lists; with the
+    query's own centroid probed it must return the query itself first, and
+    the stored-assignment path (centroid_id materialized at ingest) must
+    give identical results to the fused path."""
+    from ocr_sam_project_spark.operators.similarity import ivf_assign, ivf_search
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+
+    fused = [(r.vec_id, r.sim) for r in ivf_search(emb, q, k=5, nprobe=2, n_centroids=8).collect()]
+    assert fused[0][0] == 0 and fused[0][1] == 1.0  # self in its own list
+
+    stored = ivf_assign(emb, n_centroids=8)  # the ingest half, materialized
+    probed = [
+        (r.vec_id, r.sim)
+        for r in ivf_search(
+            stored, q, k=5, nprobe=2, n_centroids=8, assigned_col="centroid_id"
+        ).collect()
+    ]
+    assert probed == fused
+
+    # nprobe = all centroids degenerates to exact brute-force top-k
+    from ocr_sam_project_spark.operators.similarity import topk_cosine
+
+    full = [(r.vec_id, r.sim) for r in ivf_search(emb, q, k=5, nprobe=8, n_centroids=8).collect()]
+    brute = [(r.vec_id, r.sim) for r in topk_cosine(emb, q, k=5).collect()]
+    assert full == brute
+
+
 def test_topk_cosine_exact_vs_lsh(spark):
     from ocr_sam_project_spark.operators.similarity import topk_cosine, topk_cosine_lsh
 
