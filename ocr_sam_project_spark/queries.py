@@ -1599,7 +1599,40 @@ def _s_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_lsh(df, [float(x) for x in qv], k=10)
 
 
+def _s_lsh_duck(dim: int = 64, n_planes: int = 6, multiprobe: int = 1, k: int = 10) -> str:
+    """Exact DuckDB twin of topk_cosine_lsh: the RHP planes are
+    deterministic md5 literals (similarity.deterministic_planes), so the
+    oracle embeds them as DOUBLE[] array literals, computes each row's sign
+    bits via list_dot_product, and mirrors the probe set — {qsig} plus all
+    single-bit flips — as hamming(sig, qsig) <= multiprobe.  Exact cosine
+    top-k inside the probed slice with the standard 6-dp/id tie-break.
+    (Sign-bit arithmetic: NumPy matmul on the Spark side vs sequential sums
+    here — a plane dot would have to land exactly on the float rounding
+    boundary of 0 to flip; never observed at bench scale.)"""
+    from .operators.similarity import deterministic_planes
+
+    planes = deterministic_planes(dim, n_planes)
+    lit = lambda p: "[" + ", ".join(repr(float(x)) for x in p) + "]"  # noqa: E731
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(ea, {lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "ROUND(list_dot_product(ea, qa) / (sqrt(list_dot_product(ea, ea))"
+        " * sqrt(list_dot_product(qa, qa))), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings),
+    s AS (SELECT vec_id, ea, {bit_terms} AS sig FROM e),
+    q AS (SELECT ea AS qa, sig AS qsig FROM s WHERE vec_id = 0)
+    SELECT s.vec_id, {cos} AS sim
+    FROM s, q
+    WHERE bit_count(xor(s.sig, q.qsig)) <= {multiprobe}
+    ORDER BY sim DESC, s.vec_id ASC LIMIT {k}"""
+
+
 QUERY_FNS["s_topk_cosine_lsh"] = _s_lsh_fn
+ORACLES["s_topk_cosine_lsh"] = _s_lsh_duck()
 
 
 def _s_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
