@@ -346,6 +346,45 @@ def resolve_clusters(
     return lab.select(F.col("id").alias("doc_id"), F.col("lbl").alias("canonical_id"))
 
 
+def dedup_losers(
+    df: DataFrame,
+    method: str = "exact",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Ids of every NON-canonical duplicate-cluster member — the (small)
+    drop set.  Returning losers rather than keepers matters at scale: most
+    of a corpus is unique, so the keep set is corpus-sized while the loser
+    set is |dups|-sized — a broadcast-able anti-join key list.
+
+    exact:   md5-group; only groups with n_copies >= 2 (tiny) re-join the
+             fingerprints, so the corpus-sized side sees one semi-shaped
+             broadcast join, not a full self-join.
+    minhash: banded-LSH candidates -> Jaccard verify -> connected
+             components -> members whose id != canonical id."""
+    if method == "exact":
+        dup_groups = exact_dedup(df, text_col, id_col).filter(F.col("n_copies") >= 2)
+        fps = df.select(
+            F.col(id_col), F.md5(normalize_for_fingerprint(F.col(text_col))).alias("fp")
+        )
+        # no forced broadcast: dup_groups is tiny on mostly-unique corpora
+        # but can be large on heavy-dup ones — AQE picks BHJ when it fits
+        return (
+            fps.join(dup_groups.select("fp", "keep_id"), "fp")
+            .filter(F.col(id_col) != F.col("keep_id"))
+            .select(id_col)
+        )
+    if method == "minhash":
+        pairs = minhash_near_dups(df, text_col, id_col, threshold=threshold)
+        return (
+            resolve_clusters(pairs)
+            .filter(F.col("doc_id") != F.col("canonical_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+    raise ValueError(f"unknown dedup method {method!r} (want 'exact' or 'minhash')")
+
+
 def dedup_keep(
     df: DataFrame,
     method: str = "exact",
@@ -355,23 +394,10 @@ def dedup_keep(
 ) -> DataFrame:
     """One canonical row per duplicate cluster — the keep-one semantic a
     training-corpus dedup actually needs (pairs alone don't dedup anything).
-
-    exact:   md5-group, keep smallest id (one hash-shuffle).
-    minhash: banded-LSH candidate pairs -> Jaccard verify ->
-             connected components -> drop every non-canonical member.
-    Docs in no duplicate relation always survive (left_anti on losers)."""
-    if method == "exact":
-        keep = exact_dedup(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
-        return df.join(keep, id_col, "left_semi")
-    if method == "minhash":
-        pairs = minhash_near_dups(df, text_col, id_col, threshold=threshold)
-        losers = (
-            resolve_clusters(pairs)
-            .filter(F.col("doc_id") != F.col("canonical_id"))
-            .select(F.col("doc_id").alias(id_col))
-        )
-        return df.join(losers, id_col, "left_anti")
-    raise ValueError(f"unknown dedup method {method!r} (want 'exact' or 'minhash')")
+    Docs in no duplicate relation always survive (anti-join on the small
+    loser set, which AQE broadcasts)."""
+    losers = dedup_losers(df, method, text_col, id_col, threshold)
+    return df.join(losers, id_col, "left_anti")
 
 
 # --------------------------------------------------------------------------

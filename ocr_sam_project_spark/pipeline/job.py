@@ -108,6 +108,7 @@ def run_extraction_job(
     pages_per_doc: int = 1,
     only_parts: Optional[list[int]] = None,
     split_parallelism: Optional[int] = None,
+    dedup: Optional[str] = None,
 ) -> dict:
     """Run (or resume) the extraction pipeline.
 
@@ -118,6 +119,13 @@ def run_extraction_job(
 
     `only_parts` restricts the run to a subset of partitions (used by the
     kill-and-resume test to simulate a mid-job failure).
+
+    `dedup` ("exact" | "minhash" | None) inserts a pre-extract dedup stage:
+    at 100 TB you dedup BEFORE paying Python extraction — every duplicate
+    page dropped here skips the whole Arrow stage.  The (small) loser set is
+    computed once (eager localCheckpoint, so the LSH DAG doesn't re-run
+    inside the extraction scan), anti-joined out of the input, and the
+    per-partition dropped counts land in lineage as `dups_dropped`.
     Returns a small summary dict.
     """
     run_ts = run_ts or datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -137,6 +145,29 @@ def run_extraction_job(
 
     t0 = time.monotonic()
     tm = t0
+
+    dups_by_part: dict[int, int] = {}
+    dups_dropped = 0
+    if dedup is not None:
+        from ..operators.dedup import dedup_losers
+
+        # empty/whitespace texts are excluded from the dedup universe: they
+        # all share one fingerprint but are NOT duplicates of each other —
+        # each must reach the quarantine branch with its own url/provenance
+        dedupable = todo.filter(F.length(F.trim(F.col("text"))) > 0)
+        losers = dedup_losers(
+            dedupable, method=dedup, text_col="text", id_col="url"
+        ).localCheckpoint()  # eager: the dedup DAG runs exactly once
+        dups_by_part = {
+            r.part_id: r.n
+            for r in with_part_id(losers, num_parts)
+            .groupBy("part_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        dups_dropped = sum(dups_by_part.values())
+        todo = todo.join(losers, "url", "left_anti")
+        tm = _mark("dedup", tm)
 
     # part_id is a pure function of url, so it is recomputed after the Arrow
     # stage instead of being dragged through it (narrower Arrow batches).
@@ -184,10 +215,12 @@ def run_extraction_job(
     docs_in = int(sum(r.docs_in for r in stats_rows))
     if not stats_rows:
         return {"run_id": run_id, "docs_in": 0, "segments_out": 0, "errors": 0,
+                "dups_dropped": dups_dropped,
                 "skipped_parts": sorted(done), "elapsed_sec": 0.0}
     stats = spark.createDataFrame(
         [
-            (r.part_id, "completed", r.docs_in, r.segments_out, r.errors, run_id, run_ts)
+            (r.part_id, "completed", r.docs_in, r.segments_out, r.errors,
+             dups_by_part.get(r.part_id, 0), run_id, run_ts)
             for r in stats_rows
         ],
         schema=LINEAGE_SCHEMA,
@@ -201,6 +234,7 @@ def run_extraction_job(
             (run_id, "docs_in", float(docs_in), run_ts),
             (run_id, "segments_out", float(seg_out), run_ts),
             (run_id, "errors", float(err_out), run_ts),
+            (run_id, "dups_dropped", float(dups_dropped), run_ts),
             (run_id, "elapsed_sec", float(elapsed), run_ts),
             (run_id, "docs_per_sec", float(docs_in) / elapsed if elapsed > 0 else 0.0, run_ts),
         ],
@@ -214,6 +248,7 @@ def run_extraction_job(
         "docs_in": docs_in,
         "segments_out": seg_out,
         "errors": err_out,
+        "dups_dropped": dups_dropped,
         "skipped_parts": sorted(done),
         "elapsed_sec": elapsed,
     }

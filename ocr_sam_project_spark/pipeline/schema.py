@@ -129,6 +129,10 @@ LINEAGE_SCHEMA = StructType(
         StructField("docs_in", LongType(), True),
         StructField("segments_out", LongType(), True),
         StructField("errors", LongType(), True),
+        # docs removed by the optional pre-extract dedup stage (0 when off):
+        # at 100 TB you dedup BEFORE paying Python extraction, and the
+        # dropped counts must be auditable per partition
+        StructField("dups_dropped", LongType(), True),
         StructField("run_id", StringType(), True),
         StructField("updated_at", TimestampType(), True),
     ]

@@ -179,6 +179,50 @@ def test_job_lineage_and_resume(spark, pages_parquet, tmp_path):
     assert s3["docs_in"] == 0
 
 
+def test_job_dedup_pre_extract_stage(spark, pages_parquet, tmp_path):
+    """dedup="exact" drops duplicate pages BEFORE the Arrow extraction stage
+    (the 100 TB ordering: never pay Python for a page you'll discard), keeps
+    exactly one canonical url per duplicate text, and audits the per-part
+    dropped counts in lineage as dups_dropped."""
+    import pyarrow.parquet as pq
+
+    # corpus = the standard 400 synthetic pages + 5 exact-duplicate urls of
+    # existing NON-EMPTY texts (same text, new url -> exact dedup drops 5).
+    # "zdup://" sorts after "https://", so the original url stays canonical.
+    base = pq.read_table(pages_parquet)
+    nonempty = [r for r in base.to_pylist() if (r["text"] or "").strip()]
+    dup = [dict(r) for r in nonempty[:5]]
+    for i, r in enumerate(dup):
+        r["url"] = f"zdup://copy-{i}"
+    import pyarrow as pa
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pq.write_table(base, str(in_dir / "base.parquet"))
+    pq.write_table(pa.Table.from_pylist(dup, schema=base.schema), str(in_dir / "dups.parquet"))
+
+    out = str(tmp_path / "out")
+    s = run_extraction_job(
+        spark, str(in_dir), out, run_id="rd", num_parts=8, dedup="exact"
+    )
+    assert s["dups_dropped"] == 5
+    assert s["docs_in"] == 400  # the 5 copies never reached extraction
+
+    lin = spark.read.parquet(f"{out}/lineage")
+    assert lin.agg(F.sum("dups_dropped")).first()[0] == 5
+    # kept urls: one canonical per text — none of the droppable copies when
+    # the original url sorts first (originals here sort before dup://)
+    written = spark.read.parquet(f"{out}/extractions")
+    assert written.filter(F.col("url").startswith("zdup://")).count() == 0
+    assert written.select("url").distinct().count() == 400
+
+    # resume semantics unchanged: a second dedup run is a no-op
+    s2 = run_extraction_job(
+        spark, str(in_dir), out, run_id="rd2", num_parts=8, dedup="exact"
+    )
+    assert s2["docs_in"] == 0
+
+
 def test_metrics_written(spark, pages_parquet, tmp_path):
     out = str(tmp_path / "m")
     run_extraction_job(spark, pages_parquet, out, run_id="rm", num_parts=4)
