@@ -51,9 +51,11 @@ BENCH_QUERIES = [
     "d_minhash_sig",
     "d_minhash_lsh_near_dups",
     "d_simhash",
+    "d_lsh_clusters_fast",
     "s_topk_cosine",
     "s_topk_cosine_lsh",
     "s_ivf_assign",
+    "s_ivf_search",
     "x8_enrich_inject",
     "pipeline_extract",
 ]
@@ -120,6 +122,16 @@ def main() -> None:
             pipeline_sec, summary = el, s
     docs_per_sec = summary["docs_in"] / summary["elapsed_sec"] if summary["elapsed_sec"] else 0.0
 
+    # dedup-enabled variant: the 100 TB ordering (drop dups BEFORE paying
+    # Python extraction) — reported so the dedup stage's cost is visible
+    dd_dir = tempfile.mkdtemp(prefix="bench_dedup_")
+    t0 = time.monotonic()
+    s_dd = run_extraction_job(
+        spark, pages_path, dd_dir, run_id="dd", num_parts=CPUS, dedup="exact"
+    )
+    dedup_sec = time.monotonic() - t0
+    shutil.rmtree(dd_dir, ignore_errors=True)
+
     # ---- per-query timings --------------------------------------------------
     from ocr_sam_project_spark.queries import QUERY_FNS, _load
 
@@ -156,9 +168,20 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qv = [float(x) for x in emb.filter(SF.col("vec_id") == 0).first().embedding]
     sig_dir = tempfile.mkdtemp(prefix="bench_sig_")
+    # honesty split (BENCH_r02: driver saw 24.5 s here where BENCH.md said
+    # 1.0 s — the gap was 32 Python workers cold-spawning under VM
+    # contention on a 2000-row job, a ONE-TIME session cost, not sig math):
+    # report the cold first pass AND the warm steady-state separately.
     t0 = time.monotonic()
-    rhp_signature_table(emb).write.mode("overwrite").parquet(sig_dir)
-    qtimes["s_lsh_sig_build_once"] = round(time.monotonic() - t0, 3)
+    rhp_signature_table(emb).write.format("noop").mode("overwrite").save()
+    qtimes["s_lsh_sig_build_cold"] = round(time.monotonic() - t0, 3)
+    best = None
+    for _rep in range(2):
+        t0 = time.monotonic()
+        rhp_signature_table(emb).write.mode("overwrite").parquet(sig_dir)
+        el = time.monotonic() - t0
+        best = el if best is None or el < best else best
+    qtimes["s_lsh_sig_build_once"] = round(best, 3)
     sig_df = spark.read.parquet(sig_dir)
     best = None
     for _rep in range(3):
@@ -181,6 +204,8 @@ def main() -> None:
                 "pages": n_pages,
                 "segments_out": summary["segments_out"],
                 "errors": summary["errors"],
+                "dedup_exact_pipeline_sec": round(dedup_sec, 3),
+                "dedup_dups_dropped": s_dd["dups_dropped"],
                 "cpus": CPUS,
             }
         )

@@ -358,21 +358,22 @@ def dedup_losers(
     of a corpus is unique, so the keep set is corpus-sized while the loser
     set is |dups|-sized — a broadcast-able anti-join key list.
 
-    exact:   md5-group; only groups with n_copies >= 2 (tiny) re-join the
-             fingerprints, so the corpus-sized side sees one semi-shaped
-             broadcast join, not a full self-join.
+    exact:   ONE scan computing (id, md5-fp), ONE hash-shuffle on fp, then a
+             whole-partition min/count window — no second corpus scan and no
+             re-join (the groupBy+join-back form scanned the corpus twice).
     minhash: banded-LSH candidates -> Jaccard verify -> connected
              components -> members whose id != canonical id."""
     if method == "exact":
-        dup_groups = exact_dedup(df, text_col, id_col).filter(F.col("n_copies") >= 2)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("fp")
         fps = df.select(
             F.col(id_col), F.md5(normalize_for_fingerprint(F.col(text_col))).alias("fp")
         )
-        # no forced broadcast: dup_groups is tiny on mostly-unique corpora
-        # but can be large on heavy-dup ones — AQE picks BHJ when it fits
         return (
-            fps.join(dup_groups.select("fp", "keep_id"), "fp")
-            .filter(F.col(id_col) != F.col("keep_id"))
+            fps.withColumn("keep_id", F.min(id_col).over(w))
+            .withColumn("n_copies", F.count("*").over(w))
+            .filter((F.col("n_copies") >= 2) & (F.col(id_col) != F.col("keep_id")))
             .select(id_col)
         )
     if method == "minhash":

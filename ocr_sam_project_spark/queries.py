@@ -1568,6 +1568,20 @@ QUERY_FNS["d_lsh_clusters"] = _d_lsh_clusters_fn
 ORACLES["d_lsh_clusters"] = _d_lsh_clusters_duck()
 
 
+def _d_lsh_clusters_fast_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash twin of d_lsh_clusters (xxhash64 signatures, k=16):
+    rows-only by design — a different hash family gives slightly different
+    candidate recall, so there is no exact SQL twin; the portable variant
+    above carries the oracle.  This is the variant bench.py times."""
+    from .operators.dedup import minhash_near_dups, resolve_clusters
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return resolve_clusters(minhash_near_dups(df, threshold=0.5, fast=True))
+
+
+QUERY_FNS["d_lsh_clusters_fast"] = _d_lsh_clusters_fast_fn
+
+
 def _d_simhash_nd_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_dups
 
