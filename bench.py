@@ -108,9 +108,9 @@ def main() -> None:
     warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
     run_extraction_job(spark, pages_path, warm_dir, run_id="warm", num_parts=CPUS)
     shutil.rmtree(warm_dir, ignore_errors=True)
-    # best of 2 (the sandbox VM shows sporadic multi-second stalls)
+    # best of 3 (the sandbox VM shows sporadic multi-second stalls)
     pipeline_sec, summary = None, None
-    for rep in range(2):
+    for rep in range(3):
         out_dir = tempfile.mkdtemp(prefix="bench_extract_")
         t0 = time.monotonic()
         s = run_extraction_job(
@@ -146,7 +146,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = QUERY_FNS[name]
         best = None
-        for _rep in range(2):  # best-of-2: sporadic VM stalls
+        for _rep in range(3):  # best-of-3: sporadic VM stalls
             t0 = time.monotonic()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()

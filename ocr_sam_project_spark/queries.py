@@ -1605,6 +1605,33 @@ QUERY_FNS["d_simhash_near_dups"] = _d_simhash_nd_fn
 ORACLES["d_simhash_near_dups"] = _d_simhash_nd_duck()
 
 
+def _d_simhash_clusters_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution composed over the SIMHASH pair family (same
+    resolve_clusters operator as d_lsh_clusters — connected components are
+    pair-source-agnostic)."""
+    from .operators.dedup import resolve_clusters, simhash_near_dups
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return resolve_clusters(simhash_near_dups(df, bits=16, max_hamming=2))
+
+
+def _d_simhash_clusters_duck() -> str:
+    return f"""
+    WITH RECURSIVE base AS (SELECT id_a, id_b FROM ({_d_simhash_nd_duck()}) t),
+    edges AS (SELECT id_a AS a, id_b AS b FROM base
+              UNION SELECT id_b, id_a FROM base),
+    walk AS (
+        SELECT a AS id, a AS reach FROM edges
+        UNION
+        SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+    )
+    SELECT id AS doc_id, MIN(reach) AS canonical_id FROM walk GROUP BY id"""
+
+
+QUERY_FNS["d_simhash_clusters"] = _d_simhash_clusters_fn
+ORACLES["d_simhash_clusters"] = _d_simhash_clusters_duck()
+
+
 def _s_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import topk_cosine_lsh
 

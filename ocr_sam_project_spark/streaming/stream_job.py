@@ -59,6 +59,34 @@ def windowed_page_counts(
     )
 
 
+def deduped_pages(
+    pages: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST page per text fingerprint —
+    the incremental counterpart of the batch pre-extract dedup stage
+    (pipeline.job run_extraction_job(dedup="exact")).
+
+    dropDuplicates on (fp) with a watermark bounds the dedup state: Spark
+    keeps one state row per fingerprint seen within the watermark horizon
+    and drops any later arrival with the same fp.  At web scale the horizon
+    is the re-crawl window; an unbounded exact dedup would be a compaction
+    job over the stored corpus instead (state can't hold 10^12 keys).
+    Empty/whitespace texts bypass dedup (they all share one fp but are NOT
+    duplicates — each must reach quarantine with its own url), mirroring the
+    batch stage's guard."""
+    from ..operators.textstats import fingerprint
+
+    dedupable = pages.filter(F.length(F.trim(F.col("text"))) > 0).withColumn(
+        "_fp", fingerprint(F.col("text"))  # same canonical fp as batch dedup
+    )
+    kept = dedupable.withWatermark("warc_ts", watermark).dropDuplicates(["_fp"]).drop("_fp")
+    passthrough = pages.filter(
+        F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0)
+    )
+    return kept.unionByName(passthrough)
+
+
 def start_extraction_stream(
     spark: SparkSession,
     input_dir: str,

@@ -72,6 +72,59 @@ def test_stream_matches_batch(spark, tmp_path):
     shutil.rmtree(in_dir, ignore_errors=True)
 
 
+def test_streaming_dedup_first_wins(spark, tmp_path):
+    """Stateful streaming dedup: across micro-batches, only the FIRST page
+    per text fingerprint survives; empty-text pages bypass dedup (each must
+    reach quarantine individually)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from ocr_sam_project_spark.sources.io import PAGES_ARROW_SCHEMA
+    from ocr_sam_project_spark.streaming.stream_job import deduped_pages
+
+    T = datetime(2025, 1, 1, 10, 0)
+
+    def page(url, text):
+        return {"url": url, "warc_ts": T, "html": None, "text": text, "lang": "es"}
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # batch 1: two distinct texts + one in-batch duplicate + one empty
+    b1 = [
+        page("a://1", "texto unico primero"),
+        page("a://2", "otro texto distinto"),
+        page("a://3", "Texto   UNICO primero"),  # canonical dup of a://1
+        page("a://e1", "   "),
+    ]
+    # batch 2 (separate file -> later micro-batch): cross-batch dup + empty
+    b2 = [page("b://4", "texto unico primero"), page("b://e2", "")]
+    pq.write_table(pa.Table.from_pylist(b1, schema=PAGES_ARROW_SCHEMA), str(in_dir / "b1.parquet"))
+    pq.write_table(pa.Table.from_pylist(b2, schema=PAGES_ARROW_SCHEMA), str(in_dir / "b2.parquet"))
+
+    pages = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        deduped_pages(pages)
+        .writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").start()
+    )
+    try:
+        _process_all(q)
+        got = {r.url for r in spark.sql("SELECT url FROM dedup_stream").collect()}
+    finally:
+        q.stop()
+    # one survivor per fingerprint (first wins across batches), empties pass
+    assert {"a://1", "a://2", "a://e1", "b://e2"} <= got
+    assert "b://4" not in got  # cross-micro-batch duplicate dropped by state
+    assert ("a://3" in got) is False  # in-batch canonical duplicate dropped
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Event-time windowed rollup with watermark: a row arriving AFTER its
     window finalized is dropped — the emitted count never changes."""
