@@ -77,6 +77,8 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=20000)
     ap.add_argument("--warm-pages", type=int, default=1000)
     ap.add_argument("--n", type=int, default=8, help="small parallelism (large = 4n)")
+    ap.add_argument("--pairs", type=int, default=3,
+                    help="alternating (N, 4N) sampling rounds; best per side wins")
     args = ap.parse_args()
 
     sys.path.insert(0, HERE)
@@ -91,8 +93,18 @@ def main() -> None:
     if not os.path.exists(warm):
         write_pages_parquet(warm, n=args.warm_pages, seed=43)
 
-    small = run_at(args.n, pages, warm, split_par=args.n * 4)
-    large = run_at(args.n * 4, pages, warm, split_par=args.n * 4)
+    # The host's contention state drifts on a minutes scale, so a single
+    # sequential (small, large) pair can straddle two different machine
+    # states and report nonsense in either direction.  Sample each side in
+    # ALTERNATING child JVMs across `--pairs` rounds and take the best
+    # steady-state throughput per side — the same best-of policy as before,
+    # spread over wider (and interleaved) time windows.
+    smalls, larges = [], []
+    for _ in range(args.pairs):
+        smalls.append(run_at(args.n, pages, warm, split_par=args.n * 4, reps=2))
+        larges.append(run_at(args.n * 4, pages, warm, split_par=args.n * 4, reps=2))
+    small = max(smalls, key=lambda r: r["docs_per_sec"])
+    large = max(larges, key=lambda r: r["docs_per_sec"])
     eff = (large["docs_per_sec"] / small["docs_per_sec"]) / 4.0
 
     result = {
@@ -105,6 +117,8 @@ def main() -> None:
         "elapsed_large_sec": round(large["elapsed"], 2),
         "scaling_efficiency": round(eff, 3),
         "criterion_ge_0.8": eff >= 0.8,
+        "all_docs_per_sec_small": [round(r["docs_per_sec"], 1) for r in smalls],
+        "all_docs_per_sec_large": [round(r["docs_per_sec"], 1) for r in larges],
     }
     print(json.dumps(result))
 

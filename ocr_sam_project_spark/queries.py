@@ -904,6 +904,72 @@ def _t_quality_duck() -> str:
 QUERY_FNS["t_quality"] = _t_quality_fn
 ORACLES["t_quality"] = _t_quality_duck()
 
+
+def _t_curate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus curation funnel as ONE composed query — what the
+    individual operators exist for: exact dedup (keep-one) -> quality gate
+    (score >= 0.5) -> language id -> per-language doc/token rollup.
+    avg_quality accumulates via DECIMAL(18,6) so the cross-engine sum is
+    order-independent (float += is not associative across partitions)."""
+    from .operators.dedup import dedup_keep
+    from .operators.textstats import lang_id, quality_score, token_count
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = dedup_keep(df, "exact", text_col="text", id_col="doc_id")
+    c = F.col("text")
+    return (
+        kept.withColumn("quality", quality_score(c))
+        .filter(F.col("quality") >= 0.5)
+        .withColumn("lang_guess", lang_id(c))
+        .withColumn("n_toks", token_count(c))
+        .groupBy("lang_guess")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.round(
+                (F.sum(F.col("quality").cast("decimal(18,6)")).cast("double") / F.count("*")),
+                6,
+            ).alias("avg_quality"),
+        )
+    )
+
+
+def _t_curate_duck() -> str:
+    from .operators.textstats import LANG_MARKERS
+
+    norm = _NORM_DUCK.format(x="text")
+    quality = _t_quality_duck().split("SELECT doc_id, ")[1].split(" AS quality FROM")[0]
+    toks = f"list_distinct({_TOKS_DUCK.format(x='text')})"
+    scores = {
+        lang: f"len(list_intersect({toks}, {list(words)}))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    order = list(LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(order):
+        ge = " AND ".join(
+            [f"s_{lang} >= s_{l}" for l in order[i + 1 :]] + [f"s_{lang} >= 1"]
+        )
+        cases.append(f"WHEN {ge} THEN '{lang}'")
+    score_sel = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    ntok = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_DUCK.format(x='text')}) END"
+    return f"""
+    WITH fp AS (SELECT doc_id, text, md5({norm}) AS fp FROM documents),
+    keep AS (SELECT doc_id, text FROM (
+               SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
+               FROM fp) t WHERE doc_id = keep_id),
+    q AS (SELECT doc_id, text, {quality} AS quality FROM keep),
+    g AS (SELECT quality, {ntok} AS n_toks, {score_sel} FROM q WHERE quality >= 0.5)
+    SELECT (CASE {' '.join(cases)} ELSE 'und' END) AS lang_guess,
+           COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+    FROM g GROUP BY 1"""
+
+
+# the curation funnel composite: dedup -> quality -> lang -> token rollup
+QUERY_FNS["t_curate_corpus"] = _t_curate_fn
+ORACLES["t_curate_corpus"] = _t_curate_duck()
+
 # ===========================================================================
 # D — deduplication
 # ===========================================================================
