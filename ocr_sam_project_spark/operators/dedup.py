@@ -352,6 +352,7 @@ def dedup_losers(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    bands: int = N_BANDS,
 ) -> DataFrame:
     """Ids of every NON-canonical duplicate-cluster member — the (small)
     drop set.  Returning losers rather than keepers matters at scale: most
@@ -377,7 +378,7 @@ def dedup_losers(
             .select(id_col)
         )
     if method == "minhash":
-        pairs = minhash_near_dups(df, text_col, id_col, threshold=threshold)
+        pairs = minhash_near_dups(df, text_col, id_col, threshold=threshold, bands=bands)
         return (
             resolve_clusters(pairs)
             .filter(F.col("doc_id") != F.col("canonical_id"))
@@ -392,12 +393,13 @@ def dedup_keep(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    bands: int = N_BANDS,
 ) -> DataFrame:
     """One canonical row per duplicate cluster — the keep-one semantic a
     training-corpus dedup actually needs (pairs alone don't dedup anything).
     Docs in no duplicate relation always survive (anti-join on the small
     loser set, which AQE broadcasts)."""
-    losers = dedup_losers(df, method, text_col, id_col, threshold)
+    losers = dedup_losers(df, method, text_col, id_col, threshold, bands)
     return df.join(losers, id_col, "left_anti")
 
 

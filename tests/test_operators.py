@@ -71,6 +71,77 @@ def test_resolve_clusters_long_path_converges(spark):
     assert len(rows) == 41
 
 
+def test_minhash_recall_on_planted_near_dups(spark):
+    """End-to-end dedup recall check: plant K edit-perturbed copies of base
+    documents in a background of distinct docs; the LSH path must (a) recall
+    every planted pair at threshold 0.5 and (b) collapse each family to ONE
+    canonical keep-id via resolve_clusters."""
+    from ocr_sam_project_spark.operators.dedup import (
+        dedup_keep,
+        minhash_near_dups,
+        resolve_clusters,
+    )
+
+    # five genuinely distinct family bases (cross-family 3-gram Jaccard ~ 0;
+    # a shared template differing in one word would itself be a near-dup)
+    bases = [
+        "en la ciudad de panama el juzgado tercero de circuito civil ordena "
+        "el embargo formal de las cuentas bancarias del demandado hasta "
+        "la suma de quinientos balboas con cargo al proceso ejecutivo",
+        "the crawler fetched thousands of web pages from distinct domains "
+        "and stored the raw bytes in the warc archive for later extraction "
+        "by the distributed spark pipeline running on the cluster",
+        "receta tradicional de sancocho requiere pollo culantro name otoe "
+        "mazorca y yuca hervidos lentamente en caldo durante varias horas "
+        "hasta lograr la consistencia espesa caracteristica del plato",
+        "quarterly financial results exceeded analyst expectations with "
+        "revenue growing across every segment while operating expenses "
+        "declined for the third consecutive reporting period this year",
+        "el torneo de ajedrez escolar reunio a doscientos estudiantes de "
+        "todas las provincias quienes compitieron durante tres jornadas "
+        "por el titulo nacional y una beca universitaria completa",
+    ]
+    rows = []
+    doc_id = 0
+    planted_families = []
+    for fam in range(5):
+        fam_ids = []
+        text = bases[fam]
+        for copy in range(3):  # original + 2 near-copies (small edits)
+            words = text.split()
+            if copy:  # perturb one word mid-document
+                words[10] = f"{words[10]}x{copy}"
+            t = " ".join(words)
+            rows.append((doc_id, t, "es"))
+            fam_ids.append(doc_id)
+            doc_id += 1
+        planted_families.append(fam_ids)
+    for i in range(30):  # background docs: varying tokens interleaved every
+        # 1-2 words so no two share 3-gram shingles (Jaccard ~ 0)
+        rows.append((doc_id, f"doc{i} fondo n{i * 3} tema t{i * 7} serie s{i * 11} "
+                             f"clave k{i * 13} pieza p{i * 17} cierre c{i * 23}", "es"))
+        doc_id += 1
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    # bands=8 (r=2): at the planted Jaccard (~0.8 after a one-word edit)
+    # per-pair recall is 1-(1-j^2)^8 ~ 0.9997; with 4 bands of r=4 it is
+    # only ~0.88 and a 15-pair test would probabilistically miss one.
+    nd = lambda: minhash_near_dups(docs2, threshold=0.5, bands=8)  # noqa: E731
+    pairs = {(r.id_a, r.id_b) for r in nd().collect()}
+    for fam in planted_families:
+        a, b, c = fam
+        assert {(a, b), (a, c), (b, c)} <= pairs, f"family {fam} not fully recalled"
+    planted = {(x, y) for fam in planted_families for x in fam for y in fam if x < y}
+    assert pairs == planted  # and NO false positives across families/background
+
+    clusters = {r.doc_id: r.canonical_id for r in resolve_clusters(nd()).collect()}
+    for fam in planted_families:
+        assert {clusters[d] for d in fam} == {fam[0]}
+
+    kept = {r.doc_id for r in dedup_keep(docs2, "minhash", threshold=0.5, bands=8).collect()}
+    assert len(kept) == 5 + 30  # one per family + all background
+
+
 def test_dedup_keep_minhash_keeps_one_per_cluster(docs):
     """dedup_keep drops every non-canonical near-dup member and keeps all
     docs that are in no duplicate relation (the training-corpus keep-one)."""
