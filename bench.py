@@ -124,13 +124,17 @@ def main() -> None:
 
     # dedup-enabled variant: the 100 TB ordering (drop dups BEFORE paying
     # Python extraction) — reported so the dedup stage's cost is visible
-    dd_dir = tempfile.mkdtemp(prefix="bench_dedup_")
-    t0 = time.monotonic()
-    s_dd = run_extraction_job(
-        spark, pages_path, dd_dir, run_id="dd", num_parts=CPUS, dedup="exact"
-    )
-    dedup_sec = time.monotonic() - t0
-    shutil.rmtree(dd_dir, ignore_errors=True)
+    dedup_sec, s_dd = None, None
+    for rep in range(2):
+        dd_dir = tempfile.mkdtemp(prefix="bench_dedup_")
+        t0 = time.monotonic()
+        s = run_extraction_job(
+            spark, pages_path, dd_dir, run_id=f"dd{rep}", num_parts=CPUS, dedup="exact"
+        )
+        el = time.monotonic() - t0
+        shutil.rmtree(dd_dir, ignore_errors=True)
+        if dedup_sec is None or el < dedup_sec:
+            dedup_sec, s_dd = el, s
 
     # ---- per-query timings --------------------------------------------------
     from ocr_sam_project_spark.queries import QUERY_FNS, _load
