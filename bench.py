@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "d_simhash",
     "d_lsh_clusters_fast",
     "s_topk_cosine",
+    "s_topk_batch",
     "s_topk_cosine_lsh",
     "s_ivf_assign",
     "s_ivf_search",

@@ -65,6 +65,49 @@ def topk_cosine(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def topk_cosine_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch ANN serving shape: exact top-k for EVERY query in a query table
+    in one job.  Returns (query_id, vec_id, sim, rank).
+
+    Plan: corpus x broadcast(queries) — a narrow scored pass (the query
+    table is small by definition; forced broadcast keeps the corpus
+    unshuffled THROUGH scoring) — then ONE hash-shuffle on query_id for the
+    per-query top-k window.  The shuffle carries only (query_id, vec_id,
+    sim) triples, never vectors.  Per-query cost equals brute topk_cosine;
+    batching amortizes the corpus scan over all queries — at 100 TB the scan
+    IS the cost, so B queries per scan is a ~B-fold win over query-at-a-time.
+    Deterministic: sim rounded 6 dp, ties broken on vec_id ASC."""
+    from pyspark.sql import Window
+
+    from .skew import spread_scan
+
+    scored = (
+        spread_scan(df)
+        .crossJoin(F.broadcast(queries.select(query_id_col, query_vec_col)))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
 def rhp_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane sign signature: bit_i = (vec . plane_i) >= 0.
     Planes are fixed literals (deterministic).

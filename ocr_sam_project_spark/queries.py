@@ -1547,6 +1547,10 @@ QUERY_FNS["pipeline_case_entities"] = _pipeline_case_entities_fn
 
 
 def _d_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash LSH near-dup pairs (xxhash64 signatures) — rows-only
+    BY DESIGN: a different hash family yields slightly different candidate
+    recall (e.g. 24 vs the portable twin's 25 pairs at sf0.01), so there is
+    no exact SQL twin; d_minhash_lsh_portable carries the per-step oracle."""
     from .operators.dedup import minhash_near_dups
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1813,3 +1817,36 @@ def _s_ivf_search_duck(n_centroids: int = 8, nprobe: int = 2, k: int = 10) -> st
 
 QUERY_FNS["s_ivf_search"] = _s_ivf_search_fn
 ORACLES["s_ivf_search"] = _s_ivf_search_duck()
+
+
+def _s_topk_batch_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: exact top-5 for every 100th vector as a query set, ONE
+    corpus scan amortized over the whole batch (broadcast queries -> narrow
+    score -> one query_id-shuffle window top-k)."""
+    from .operators.similarity import topk_cosine_batch
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = df.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return topk_cosine_batch(df, qs, k=5)
+
+
+def _s_topk_batch_duck(k: int = 5) -> str:
+    cos = (
+        "ROUND(list_dot_product(ea, qa) / (sqrt(list_dot_product(ea, ea))"
+        " * sqrt(list_dot_product(qa, qa))), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings),
+    q AS (SELECT vec_id AS query_id, ea AS qa FROM e WHERE vec_id % 100 = 0),
+    s AS (SELECT q.query_id, e.vec_id, {cos} AS sim FROM e CROSS JOIN q),
+    r AS (SELECT query_id, vec_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id ASC) AS rank
+          FROM s)
+    SELECT query_id, vec_id, sim, rank FROM r WHERE rank <= {k}"""
+
+
+QUERY_FNS["s_topk_batch"] = _s_topk_batch_fn
+ORACLES["s_topk_batch"] = _s_topk_batch_duck()
