@@ -123,6 +123,44 @@ def test_ivf_assign_is_narrow(spark):
     assert "HashAggregate" not in plan, plan
 
 
+def test_partition_transform_lookup_prunes(spark, pages_parquet, tmp_path):
+    """Iceberg-style layout on plain parquet: writing partitioned by
+    (days(warc_ts), bucket(url)) makes a url point-lookup a PARTITION
+    FILTER — the scan plan must show the bucket in PartitionFilters and the
+    lookup must read only that bucket's directories."""
+    from ocr_sam_project_spark.sources.partitioning import (
+        partitioned_write,
+        pruned_lookup,
+    )
+
+    pages = spark.read.parquet(pages_parquet)
+    out = str(tmp_path / "ptab")
+    partitioned_write(pages, out, n_buckets=8)
+
+    url = pages.select("url").first().url
+    looked = pruned_lookup(spark, out, url, n_buckets=8)
+    assert looked.count() == 1
+    plan = _plan(looked)
+    assert "PartitionFilters" in plan and "p_bucket" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    # every input row survives the round-trip (layout loses nothing)
+    assert spark.read.parquet(out).count() == pages.count()
+
+
+def test_topk_batch_broadcasts_queries_single_shuffle(spark):
+    """Batch ANN: the query table must broadcast (corpus unshuffled through
+    scoring) and the only exchange is the query_id top-k window's."""
+    from ocr_sam_project_spark.operators.similarity import topk_cosine_batch
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _plan(topk_cosine_batch(emb, qs, k=5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_enrich_stage_is_narrow(spark):
     """X8 enrichment must add no Exchange: pure per-row expressions."""
     from ocr_sam_project_spark.pipeline.schema import RAW_EXTRACTION_SCHEMA
