@@ -286,6 +286,8 @@ def ivf_assign(
     from .skew import spread_scan
 
     cent_rows = ivf_centroids(df, n_centroids, id_col, vec_col)
+    if not cent_rows:  # empty corpus: no centroids, nothing to assign
+        return df.withColumn("centroid_id", F.lit(None).cast("bigint"))
     order = sorted(range(len(cent_rows)), key=lambda i: int(cent_rows[i].cid))
     C = np.vstack(
         [np.asarray(cent_rows[i].cvec, dtype=np.float64) for i in order]
