@@ -7,7 +7,8 @@ Canonical cluster invocation (the north_rule's deployment shape):
     spark-submit --master <cluster> \
         --py-files /tmp/ocr_sam_project_spark.zip \
         run_extraction.py PAGES_PATH OUT_DIR \
-        [--run-id R] [--num-parts P] [--pages-per-doc K]
+        [--run-id R] [--num-parts P] [--pages-per-doc K] \
+        [--dedup exact|minhash]
 
 Prints one JSON summary line.  Re-running with the same OUT_DIR resumes:
 completed partitions are skipped via the lineage table.
@@ -30,6 +31,10 @@ def main() -> None:
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--num-parts", type=int, default=32)
     ap.add_argument("--pages-per-doc", type=int, default=1)
+    ap.add_argument("--dedup", choices=["exact", "minhash"], default=None,
+                    help="pre-extract dedup stage: drop duplicate pages "
+                         "before the Arrow extraction (dups_dropped lands "
+                         "in lineage)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -46,6 +51,7 @@ def main() -> None:
         run_id=args.run_id,
         num_parts=args.num_parts,
         pages_per_doc=args.pages_per_doc,
+        dedup=args.dedup,
     )
     print(json.dumps(summary))
     spark.stop()
