@@ -78,6 +78,36 @@ def with_shingles(
     )
 
 
+def with_shingle_hashes(
+    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "_shh"
+) -> DataFrame:
+    """INTEGER shingle-hash set — the fast-path twin of with_shingles with
+    zero per-gram string work: each token is xxhash64'd ONCE, and a gram's
+    hash is xxhash64 over the n consecutive token hashes (fixed 8-byte
+    inputs — position-sensitive, collision-safe at 64 bits, and crucially
+    NOT wrapping arithmetic, which ANSI mode (Spark 4 default) turns into
+    ARITHMETIC_OVERFLOW errors).  The string form builds and re-hashes a
+    variable-length string PER GRAM — at web scale that's most of the
+    signature cost.  Texts shorter than n tokens fall back to a fold over
+    the whole token-hash array, mirroring with_shingles' single-shingle
+    fallback."""
+    toks = F.split(normalize_for_fingerprint(F.col(text_col)), " ")
+    df = df.withColumn("_sgh_th", F.transform(toks, lambda t: F.xxhash64(t)))
+    th = F.col("_sgh_th")
+    k = F.size(th) - (n - 1)
+
+    def gram(i):  # i is 0-based gram start; element_at is 1-based
+        return F.xxhash64(*[F.element_at(th, i + j + 1) for j in range(n)])
+
+    whole = F.aggregate(
+        th, F.lit(0).cast("bigint"), lambda acc, h: F.xxhash64(acc, h)
+    )
+    grams = F.when(k <= 0, F.array(whole)).otherwise(
+        F.array_distinct(F.transform(F.sequence(F.lit(0), k - 1), gram))
+    )
+    return df.withColumn(out_col, grams).drop("_sgh_th")
+
+
 # --------------------------------------------------------------------------
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: md5 of canonical text, keep the smallest id per group.
@@ -141,20 +171,27 @@ def minhash_signatures(
     """k-permutation MinHash via salted hashes: sig_i = min over shingles of
     hash_i(shingle).  Returns (id, sig array<bigint>).
 
-    fast=False uses the portable md5 hash64 (exact DuckDB oracle twin);
-    fast=True uses native salted xxhash64 (~10x cheaper, same statistical
-    properties) — the production path, used by the LSH pipeline.
+    fast=False uses string shingles + the portable md5 hash64 per (salt,
+    shingle) — the exact DuckDB oracle twin.
+    fast=True is the production path: INTEGER shingle hashes computed once
+    (with_shingle_hashes — one xxhash64 per TOKEN, one per gram over fixed
+    8-byte inputs, no per-gram strings), then sig_i = min over grams of
+    xxhash64(i, g) — k fixed-width int hashes per shingle instead of k
+    variable-length STRING hashes.  At web scale the signature pass is the
+    dedup job, so this is the difference that matters.
 
-    Shuffle-free: sig_i = array_min(transform(shingles, hash_i)) evaluates
+    Shuffle-free either way: sig_i = array_min(transform(...)) evaluates
     per-row inside whole-stage codegen — no shingle explode, no groupBy.
     (The r1 form exploded ~200 shingle rows per doc and shuffled them back
     through a 16-way min agg; at web scale that shuffle IS the job.)"""
     if fast:
-        mk = lambda i: (lambda s: F.xxhash64(F.lit(i), s))  # noqa: E731
+        base = with_shingle_hashes(spread_scan(df), text_col)
+        sh = F.col("_shh")
+        mk = lambda i: (lambda g: F.xxhash64(F.lit(i), g))  # noqa: E731
     else:
+        base = with_shingles(spread_scan(df), text_col)
+        sh = F.col("_sh")
         mk = lambda i: (lambda s: hash64(F.concat(F.lit(f"{i}|"), s)))  # noqa: E731
-    base = with_shingles(spread_scan(df), text_col)
-    sh = F.col("_sh")
     sig = F.array(*[F.array_min(F.transform(sh, mk(i))) for i in range(k)])
     return base.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
@@ -177,17 +214,23 @@ def minhash_lsh_candidates(
     banded pipeline has an exact DuckDB oracle twin."""
     r = k // bands
     sig = minhash_signatures(df, text_col, id_col, k, fast=fast)
+    if fast:
+        # native fixed-width bucket id: xxhash64 over the band's r sig
+        # values — no per-band string building (the md5(concat_ws(...))
+        # form exists only for the DuckDB-portable twin)
+        bucket_of = lambda b: F.xxhash64(  # noqa: E731
+            F.lit(b), *[F.col("sig")[b * r + j] for j in range(r)]
+        ).cast("string")
+    else:
+        bucket_of = lambda b: F.md5(  # noqa: E731
+            F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])
+        )
     banded = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -246,9 +289,14 @@ def minhash_near_dups(
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
-    sh = with_shingles(
+    # verification shingle sets: the fast path verifies over the INT gram
+    # hashes (64-bit collisions are negligible at any real threshold), the
+    # portable path over the string shingles its DuckDB twin reproduces
+    mk_sh = with_shingle_hashes if fast else with_shingles
+    sh_col = "_shh" if fast else "_sh"
+    sh = mk_sh(
         df.join(cand_ids, F.col(id_col) == F.col("id"), "left_semi"), text_col
-    ).select(F.col(id_col).alias("id"), F.col("_sh").alias("sh"))
+    ).select(F.col(id_col).alias("id"), F.col(sh_col).alias("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sha"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_shb"))
     return (
