@@ -46,6 +46,44 @@ def test_minhash_lsh_recalls_exact_dups(docs):
     assert (1, 4) not in pairs
 
 
+def test_with_shingle_hashes_semantics(spark):
+    """The integer shingle-hash fast path must mirror with_shingles'
+    semantics: whitespace-normalized, position-sensitive 3-grams, distinct,
+    with a whole-text fallback when the doc has fewer than n tokens."""
+    from ocr_sam_project_spark.operators.dedup import with_shingle_hashes
+
+    rows = [
+        (1, "a b c d"),
+        (2, "  a   b c d  "),  # ws-variant of 1 -> identical gram set
+        (3, "d c b a"),  # same tokens reversed -> disjoint gram set
+        (4, "a b"),  # < n tokens -> single fallback hash
+        (5, "x y x y x y"),  # repeating grams -> deduplicated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["_shh"] for r in with_shingle_hashes(df).collect()}
+    assert got[1] == got[2]  # normalization
+    assert len(got[1]) == 2  # 4 tokens -> 2 distinct 3-grams
+    assert set(got[1]).isdisjoint(got[3])  # position sensitivity
+    assert len(got[4]) == 1  # short-text fallback
+    assert len(got[5]) == 2  # 'x y x' and 'y x y' only, deduped
+
+
+def test_minhash_fast_and_portable_agree_on_planted_dups(docs):
+    """fast=True (int grams + xxhash64) and fast=False (string shingles +
+    md5 portable) are different hash families but must agree on the
+    planted exact/ws-variant duplicate pairs at a mid threshold."""
+    from ocr_sam_project_spark.operators.dedup import minhash_near_dups
+
+    want = {(1, 2), (1, 6), (2, 6)}
+    for fast in (True, False):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in minhash_near_dups(docs, threshold=0.4, fast=fast).collect()
+        }
+        assert want <= pairs, f"fast={fast} missed {want - pairs}"
+        assert (1, 4) not in pairs
+
+
 def test_resolve_clusters_chain_collapses(spark):
     """A-B, B-C (no direct A-C edge) must collapse into ONE cluster with the
     smallest id canonical; a disjoint pair forms its own cluster."""
