@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "n4_date_es",
     "t_quality",
     "t_lang_id",
+    "t_repetition",
     "t_curate_corpus",
     "d_exact_dedup",
     "d_minhash_sig",

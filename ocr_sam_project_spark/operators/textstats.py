@@ -90,6 +90,42 @@ def quality_score(col: Column) -> Column:
     return F.round(0.4 * len_part + 0.4 * stop_part + 0.2 * punct_part, 6)
 
 
+def repetition_stats(df, text_col: str = "text"):
+    """Token-repetition quality signals (C4/Gopher-style filters): the
+    duplicate-token fraction (1 − distinct/total) and the adjacent-repeat
+    fraction (share of consecutive equal-token positions).  High values on
+    web pages mark boilerplate, keyword stuffing, and generator loops —
+    standard pre-training drop rules.
+
+    Narrow per-row codegen: the token array is materialized ONCE as a
+    column (HOF lambdas re-evaluate captured subtrees per element — the
+    round-2 lesson), every stat derives from it, no shuffle, no Python.
+    Adjacent comparison zips the array with its own tail (explicit slice
+    length, zero when n<=1); zip_with pads the longer side with null and
+    null==x is never true, so the final padded slot never counts."""
+    toks_expr = tokens(F.lower(F.col(text_col)))
+    out = df.withColumn("_rep_toks", toks_expr)
+    t = F.col("_rep_toks")
+    n = F.size(t)
+    empty = F.length(F.trim(F.col(text_col))) == 0
+    n_tokens = F.when(empty, F.lit(0)).otherwise(n)
+    dup_frac = F.when(
+        n_tokens > 0,
+        F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    tail = F.slice(t, 2, F.greatest(n - 1, F.lit(0)))
+    adj_hits = F.size(F.filter(F.zip_with(t, tail, lambda a, b: a == b), lambda x: x))
+    adj_frac = F.when(
+        n_tokens >= 2, adj_hits.cast("double") / (n - 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        *df.columns,
+        n_tokens.alias("n_tokens"),
+        F.round(dup_frac, 6).alias("dup_token_frac"),
+        F.round(adj_frac, 6).alias("adjacent_repeat_frac"),
+    )
+
+
 def normalize_for_fingerprint(col: Column) -> Column:
     """Deterministic canonical form: lowercase, collapse whitespace, strip."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))

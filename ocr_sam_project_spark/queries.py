@@ -836,6 +836,41 @@ QUERY_FNS["t_token_count"] = _t_token_fn
 ORACLES["t_token_count"] = _t_token_duck()
 
 
+def _t_repetition_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-repetition quality signals (C4/Gopher-style drop rules):
+    duplicate-token fraction and adjacent-repeat fraction per document."""
+    from .operators.textstats import repetition_stats
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return repetition_stats(df).select(
+        "doc_id", "n_tokens", "dup_token_frac", "adjacent_repeat_frac"
+    )
+
+
+def _t_repetition_duck() -> str:
+    toks = _TOKS_DUCK.format(x="text")
+    return f"""
+    WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+                 len(toks) AS n_raw,
+                 len(list_distinct(toks)) AS n_distinct,
+                 len(list_filter(range(2, len(toks) + 1), i -> toks[i] = toks[i - 1])) AS adj
+          FROM t)
+    SELECT doc_id, n_tokens,
+           ROUND(CASE WHEN n_tokens > 0
+                      THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_raw
+                      ELSE 0.0 END, 6) AS dup_token_frac,
+           ROUND(CASE WHEN n_tokens >= 2
+                      THEN CAST(adj AS DOUBLE) / (n_raw - 1)
+                      ELSE 0.0 END, 6) AS adjacent_repeat_frac
+    FROM s"""
+
+
+QUERY_FNS["t_repetition"] = _t_repetition_fn
+ORACLES["t_repetition"] = _t_repetition_duck()
+
+
 def _t_lang_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import lang_id
 
@@ -1168,6 +1203,31 @@ ORACLES["s_near_dup_cosine"] = (
     "ORDER BY sim DESC, id_a ASC, id_b ASC LIMIT 20"
 )
 QUERY_FNS["s_near_dup_cosine"] = _s_neardup_fn
+
+
+def _s_cosine_clusters_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution composed over the EMBEDDING-cosine pair family
+    (same resolve_clusters operator as d_lsh_clusters / d_simhash_clusters
+    — connected components are pair-source-agnostic).  Completes the
+    keep-one story for the third near-dup family: the top-20 most-similar
+    pairs (deterministic tie-break) resolved to canonical groups."""
+    from .operators.dedup import resolve_clusters
+
+    pairs = _s_neardup_fn(spark, sf_dir).select("id_a", "id_b")
+    return resolve_clusters(pairs)
+
+
+ORACLES["s_cosine_clusters"] = f"""
+    WITH RECURSIVE base AS (SELECT id_a, id_b FROM ({ORACLES["s_near_dup_cosine"]}) t),
+    edges AS (SELECT id_a AS a, id_b AS b FROM base
+              UNION SELECT id_b, id_a FROM base),
+    walk AS (
+        SELECT a AS id, a AS reach FROM edges
+        UNION
+        SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+    )
+    SELECT id AS doc_id, MIN(reach) AS canonical_id FROM walk GROUP BY id"""
+QUERY_FNS["s_cosine_clusters"] = _s_cosine_clusters_fn
 
 # ===========================================================================
 # M — multimodal plumbing (binary column feature extraction)
