@@ -169,3 +169,21 @@ def test_enrich_stage_is_narrow(spark):
     raw = spark.createDataFrame([], RAW_EXTRACTION_SCHEMA)
     plan = _plan(enrich_stage(raw))
     assert "Exchange" not in plan, plan
+
+
+def test_repetition_stats_is_narrow(spark):
+    """t_repetition design point: every repetition stat derives from ONE
+    materialized token-array column per row — no explode (Generate), no
+    aggregate, no Exchange; the whole thing is a narrow codegen pass."""
+    from ocr_sam_project_spark.operators.textstats import repetition_stats
+
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('uno dos dos tres ', id) AS text"
+    )
+    plan = _plan(
+        repetition_stats(df).select(
+            "doc_id", "n_tokens", "dup_token_frac", "adjacent_repeat_frac"
+        )
+    )
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan and "HashAggregate" not in plan, plan
