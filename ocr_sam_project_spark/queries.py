@@ -943,19 +943,22 @@ ORACLES["t_quality"] = _t_quality_duck()
 def _t_curate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-corpus curation funnel as ONE composed query — what the
     individual operators exist for: exact dedup (keep-one) -> quality gate
-    (score >= 0.5) -> language id -> per-language doc/token rollup.
-    avg_quality accumulates via DECIMAL(18,6) so the cross-engine sum is
-    order-independent (float += is not associative across partitions)."""
+    (score >= 0.5) -> repetition gate (dup_token_frac <= 0.6 AND
+    adjacent_repeat_frac <= 0.1, on the rounded stats) -> language id ->
+    per-language doc/token rollup.  avg_quality accumulates via
+    DECIMAL(18,6) so the cross-engine sum is order-independent (float +=
+    is not associative across partitions)."""
     from .operators.dedup import dedup_keep
-    from .operators.textstats import lang_id, quality_score, token_count
+    from .operators.textstats import lang_id, quality_score, repetition_stats, token_count
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     kept = dedup_keep(df, "exact", text_col="text", id_col="doc_id")
     c = F.col("text")
+    gated = repetition_stats(
+        kept.withColumn("quality", quality_score(c)).filter(F.col("quality") >= 0.5)
+    ).filter((F.col("dup_token_frac") <= 0.6) & (F.col("adjacent_repeat_frac") <= 0.1))
     return (
-        kept.withColumn("quality", quality_score(c))
-        .filter(F.col("quality") >= 0.5)
-        .withColumn("lang_guess", lang_id(c))
+        gated.withColumn("lang_guess", lang_id(c))
         .withColumn("n_toks", token_count(c))
         .groupBy("lang_guess")
         .agg(
@@ -988,13 +991,28 @@ def _t_curate_duck() -> str:
         cases.append(f"WHEN {ge} THEN '{lang}'")
     score_sel = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
     ntok = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_DUCK.format(x='text')}) END"
+    rtoks = _TOKS_DUCK.format(x="text")
     return f"""
     WITH fp AS (SELECT doc_id, text, md5({norm}) AS fp FROM documents),
     keep AS (SELECT doc_id, text FROM (
                SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
                FROM fp) t WHERE doc_id = keep_id),
     q AS (SELECT doc_id, text, {quality} AS quality FROM keep),
-    g AS (SELECT quality, {ntok} AS n_toks, {score_sel} FROM q WHERE quality >= 0.5)
+    qt AS (SELECT doc_id, text, quality, {rtoks} AS toks FROM q WHERE quality >= 0.5),
+    rs AS (SELECT doc_id, text, quality,
+                  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tok_r,
+                  len(toks) AS n_raw,
+                  len(list_distinct(toks)) AS n_distinct,
+                  len(list_filter(range(2, len(toks) + 1), i -> toks[i] = toks[i - 1])) AS adj
+           FROM qt),
+    gated AS (SELECT doc_id, text, quality FROM rs
+              WHERE ROUND(CASE WHEN n_tok_r > 0
+                               THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_raw
+                               ELSE 0.0 END, 6) <= 0.6
+                AND ROUND(CASE WHEN n_tok_r >= 2
+                               THEN CAST(adj AS DOUBLE) / (n_raw - 1)
+                               ELSE 0.0 END, 6) <= 0.1),
+    g AS (SELECT quality, {ntok} AS n_toks, {score_sel} FROM gated)
     SELECT (CASE {' '.join(cases)} ELSE 'und' END) AS lang_guess,
            COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
            ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
