@@ -126,18 +126,31 @@ def main() -> None:
     docs_per_sec = summary["docs_in"] / summary["elapsed_sec"] if summary["elapsed_sec"] else 0.0
 
     # dedup-enabled variant: the 100 TB ordering (drop dups BEFORE paying
-    # Python extraction) — reported so the dedup stage's cost is visible
+    # Python extraction) — reported so the dedup stage's cost is visible.
+    # The synthetic corpus is duplicate-free, so the stage would otherwise
+    # drop nothing; plant a deterministic ~10% duplicated slice (same text,
+    # new url) so the benched run does the real work: detect, drop, and
+    # SKIP the Arrow stage for every planted copy.
+    from pyspark.sql import functions as _F
+
+    dup_path = tempfile.mkdtemp(prefix="bench_dup_pages_") + "/pages.parquet"
+    base_pages = spark.read.parquet(pages_path)
+    planted = base_pages.filter(_F.pmod(_F.xxhash64("url"), _F.lit(10)) == 0).withColumn(
+        "url", _F.concat(_F.col("url"), _F.lit("#dup"))
+    )
+    base_pages.unionByName(planted).write.mode("overwrite").parquet(dup_path)
     dedup_sec, s_dd = None, None
     for rep in range(2):
         dd_dir = tempfile.mkdtemp(prefix="bench_dedup_")
         t0 = time.monotonic()
         s = run_extraction_job(
-            spark, pages_path, dd_dir, run_id=f"dd{rep}", num_parts=CPUS, dedup="exact"
+            spark, dup_path, dd_dir, run_id=f"dd{rep}", num_parts=CPUS, dedup="exact"
         )
         el = time.monotonic() - t0
         shutil.rmtree(dd_dir, ignore_errors=True)
         if dedup_sec is None or el < dedup_sec:
             dedup_sec, s_dd = el, s
+    shutil.rmtree(os.path.dirname(dup_path), ignore_errors=True)
 
     # ---- per-query timings --------------------------------------------------
     from ocr_sam_project_spark.queries import QUERY_FNS, _load
@@ -212,6 +225,7 @@ def main() -> None:
                 "segments_out": summary["segments_out"],
                 "errors": summary["errors"],
                 "dedup_exact_pipeline_sec": round(dedup_sec, 3),
+                "dedup_pages_in": s_dd["docs_in"] + s_dd["dups_dropped"],
                 "dedup_dups_dropped": s_dd["dups_dropped"],
                 "cpus": CPUS,
             }

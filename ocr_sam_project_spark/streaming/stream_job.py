@@ -69,7 +69,9 @@ def deduped_pages(
 
     dropDuplicates on (fp) with a watermark bounds the dedup state: Spark
     keeps one state row per fingerprint seen within the watermark horizon
-    and drops any later arrival with the same fp.  At web scale the horizon
+    and drops any later arrival with the same fp.  "First" is guaranteed
+    ACROSS micro-batches (earlier batch populates state); within a single
+    micro-batch Spark keeps an arbitrary one of the tied rows.  At web scale the horizon
     is the re-crawl window; an unbounded exact dedup would be a compaction
     job over the stored corpus instead (state can't hold 10^12 keys).
     Empty/whitespace texts bypass dedup (they all share one fp but are NOT
