@@ -153,15 +153,23 @@ def run_extraction_job(
 
         # empty/whitespace texts are excluded from the dedup universe: they
         # all share one fingerprint but are NOT duplicates of each other —
-        # each must reach the quarantine branch with its own url/provenance
-        dedupable = todo.filter(F.length(F.trim(F.col("text"))) > 0)
+        # each must reach the quarantine branch with its own url/provenance.
+        # Losers are computed over the FULL corpus, not this run's todo: on
+        # resume a duplicate pair can span a completed part and a remaining
+        # one, and a todo-only universe would let the remaining copy through
+        # (the winner-by-min-url is also only stable against the full set).
+        dedupable = pages.filter(F.length(F.trim(F.col("text"))) > 0)
         losers = dedup_losers(
             dedupable, method=dedup, text_col="text", id_col="url"
         ).localCheckpoint()  # eager: the dedup DAG runs exactly once
+        losers_here = with_part_id(losers, num_parts)
+        if done:  # lineage counts only what THIS run actually drops
+            losers_here = losers_here.filter(~F.col("part_id").isin(list(done)))
+        if only_parts is not None:
+            losers_here = losers_here.filter(F.col("part_id").isin(only_parts))
         dups_by_part = {
             r.part_id: r.n
-            for r in with_part_id(losers, num_parts)
-            .groupBy("part_id")
+            for r in losers_here.groupBy("part_id")
             .agg(F.count("*").alias("n"))
             .collect()
         }

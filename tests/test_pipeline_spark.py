@@ -223,6 +223,58 @@ def test_job_dedup_pre_extract_stage(spark, pages_parquet, tmp_path):
     assert s2["docs_in"] == 0
 
 
+def test_job_dedup_across_resume_boundary(spark, pages_parquet, tmp_path):
+    """A duplicate pair whose winner lands in a COMPLETED part must still be
+    dropped when the loser's part runs in a later resume: losers are
+    computed over the full corpus, not the resume's todo subset."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    num_parts = 8
+    base = pq.read_table(pages_parquet)
+    nonempty = [r for r in base.to_pylist() if (r["text"] or "").strip()]
+
+    def part_of(url: str) -> int:
+        return spark.sql(
+            f"SELECT pmod(xxhash64('{url}'), {num_parts}) AS p"
+        ).first().p
+
+    # pick an original whose part differs from its copy's part
+    winner = loser_url = None
+    for r in nonempty:
+        for i in range(20):
+            cand = f"zdup://resume-{i}"
+            if part_of(cand) != part_of(r["url"]):
+                winner, loser_url = r, cand
+                break
+        if winner:
+            break
+    assert winner is not None
+    copy = dict(winner)
+    copy["url"] = loser_url
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pq.write_table(base, str(in_dir / "base.parquet"))
+    pq.write_table(pa.Table.from_pylist([copy], schema=base.schema), str(in_dir / "dup.parquet"))
+
+    out = str(tmp_path / "out")
+    # run 1: ONLY the winner's part completes
+    run_extraction_job(
+        spark, str(in_dir), out, run_id="p1", num_parts=num_parts,
+        only_parts=[part_of(winner["url"])], dedup="exact",
+    )
+    # run 2: resume the rest — the loser's part now runs with the winner's
+    # part already done; the loser must still be dropped
+    s2 = run_extraction_job(
+        spark, str(in_dir), out, run_id="p2", num_parts=num_parts, dedup="exact"
+    )
+    assert s2["dups_dropped"] == 1
+    written = spark.read.parquet(f"{out}/extractions")
+    assert written.filter(F.col("url") == loser_url).count() == 0
+    assert written.filter(F.col("url") == winner["url"]).count() >= 1
+
+
 def test_metrics_written(spark, pages_parquet, tmp_path):
     out = str(tmp_path / "m")
     run_extraction_job(spark, pages_parquet, out, run_id="rm", num_parts=4)
