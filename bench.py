@@ -133,12 +133,14 @@ def main() -> None:
     # SKIP the Arrow stage for every planted copy.
     from pyspark.sql import functions as _F
 
-    dup_path = tempfile.mkdtemp(prefix="bench_dup_pages_") + "/pages.parquet"
-    base_pages = spark.read.parquet(pages_path)
-    planted = base_pages.filter(_F.pmod(_F.xxhash64("url"), _F.lit(10)) == 0).withColumn(
-        "url", _F.concat(_F.col("url"), _F.lit("#dup"))
-    )
-    base_pages.unionByName(planted).write.mode("overwrite").parquet(dup_path)
+    # deterministic, so cached alongside the base corpus (same key scheme)
+    dup_path = pages_path.replace(".parquet", "_dup.parquet")
+    if not os.path.exists(dup_path):
+        base_pages = spark.read.parquet(pages_path)
+        planted = base_pages.filter(
+            _F.pmod(_F.xxhash64("url"), _F.lit(10)) == 0
+        ).withColumn("url", _F.concat(_F.col("url"), _F.lit("#dup")))
+        base_pages.unionByName(planted).write.mode("overwrite").parquet(dup_path)
     dedup_sec, s_dd = None, None
     for rep in range(2):
         dd_dir = tempfile.mkdtemp(prefix="bench_dedup_")
@@ -150,7 +152,6 @@ def main() -> None:
         shutil.rmtree(dd_dir, ignore_errors=True)
         if dedup_sec is None or el < dedup_sec:
             dedup_sec, s_dd = el, s
-    shutil.rmtree(os.path.dirname(dup_path), ignore_errors=True)
 
     # ---- per-query timings --------------------------------------------------
     from ocr_sam_project_spark.queries import QUERY_FNS, _load

@@ -221,7 +221,15 @@ def run_extraction_job(
     )
     tm = _mark("stats", tm)
     docs_in = int(sum(r.docs_in for r in stats_rows))
-    if not stats_rows:
+    # a partition whose EVERY page was a dedup loser writes zero output rows
+    # and so never appears in the written table — it is still COMPLETE, and
+    # without a lineage row every resume would re-run it (and re-count its
+    # losers in the metrics) forever.  dups_by_part is already restricted to
+    # this run's parts, so its keys minus the written parts are exactly the
+    # dedup-emptied partitions.
+    seen_parts = {r.part_id for r in stats_rows}
+    dedup_only_parts = sorted(p for p in dups_by_part if p not in seen_parts)
+    if not stats_rows and not dedup_only_parts:
         return {"run_id": run_id, "docs_in": 0, "segments_out": 0, "errors": 0,
                 "dups_dropped": dups_dropped,
                 "skipped_parts": sorted(done), "elapsed_sec": 0.0}
@@ -230,6 +238,10 @@ def run_extraction_job(
             (r.part_id, "completed", r.docs_in, r.segments_out, r.errors,
              dups_by_part.get(r.part_id, 0), run_id, run_ts)
             for r in stats_rows
+        ]
+        + [
+            (p, "completed", 0, 0, 0, dups_by_part[p], run_id, run_ts)
+            for p in dedup_only_parts
         ],
         schema=LINEAGE_SCHEMA,
     )

@@ -847,23 +847,32 @@ def _t_repetition_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared repetition-stat fragments (textstats.repetition_stats twin) — used
+# by BOTH the t_repetition oracle and the curation-funnel gate so the two
+# can never drift from each other (or from the one Spark implementation)
+_REP_RAW_DUCK = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tok_r, "
+    "len(toks) AS n_raw, len(list_distinct(toks)) AS n_distinct, "
+    "len(list_filter(range(2, len(toks) + 1), i -> toks[i] = toks[i - 1])) AS adj"
+)
+_REP_DUP_FRAC_DUCK = (
+    "ROUND(CASE WHEN n_tok_r > 0 THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_raw"
+    " ELSE 0.0 END, 6)"
+)
+_REP_ADJ_FRAC_DUCK = (
+    "ROUND(CASE WHEN n_tok_r >= 2 THEN CAST(adj AS DOUBLE) / (n_raw - 1)"
+    " ELSE 0.0 END, 6)"
+)
+
+
 def _t_repetition_duck() -> str:
     toks = _TOKS_DUCK.format(x="text")
     return f"""
     WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
-    s AS (SELECT doc_id,
-                 CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
-                 len(toks) AS n_raw,
-                 len(list_distinct(toks)) AS n_distinct,
-                 len(list_filter(range(2, len(toks) + 1), i -> toks[i] = toks[i - 1])) AS adj
-          FROM t)
-    SELECT doc_id, n_tokens,
-           ROUND(CASE WHEN n_tokens > 0
-                      THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_raw
-                      ELSE 0.0 END, 6) AS dup_token_frac,
-           ROUND(CASE WHEN n_tokens >= 2
-                      THEN CAST(adj AS DOUBLE) / (n_raw - 1)
-                      ELSE 0.0 END, 6) AS adjacent_repeat_frac
+    s AS (SELECT doc_id, {_REP_RAW_DUCK} FROM t)
+    SELECT doc_id, n_tok_r AS n_tokens,
+           {_REP_DUP_FRAC_DUCK} AS dup_token_frac,
+           {_REP_ADJ_FRAC_DUCK} AS adjacent_repeat_frac
     FROM s"""
 
 
@@ -999,19 +1008,10 @@ def _t_curate_duck() -> str:
                FROM fp) t WHERE doc_id = keep_id),
     q AS (SELECT doc_id, text, {quality} AS quality FROM keep),
     qt AS (SELECT doc_id, text, quality, {rtoks} AS toks FROM q WHERE quality >= 0.5),
-    rs AS (SELECT doc_id, text, quality,
-                  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tok_r,
-                  len(toks) AS n_raw,
-                  len(list_distinct(toks)) AS n_distinct,
-                  len(list_filter(range(2, len(toks) + 1), i -> toks[i] = toks[i - 1])) AS adj
-           FROM qt),
+    rs AS (SELECT doc_id, text, quality, {_REP_RAW_DUCK} FROM qt),
     gated AS (SELECT doc_id, text, quality FROM rs
-              WHERE ROUND(CASE WHEN n_tok_r > 0
-                               THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_raw
-                               ELSE 0.0 END, 6) <= 0.6
-                AND ROUND(CASE WHEN n_tok_r >= 2
-                               THEN CAST(adj AS DOUBLE) / (n_raw - 1)
-                               ELSE 0.0 END, 6) <= 0.1),
+              WHERE {_REP_DUP_FRAC_DUCK} <= 0.6
+                AND {_REP_ADJ_FRAC_DUCK} <= 0.1),
     g AS (SELECT quality, {ntok} AS n_toks, {score_sel} FROM gated)
     SELECT (CASE {' '.join(cases)} ELSE 'und' END) AS lang_guess,
            COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,

@@ -234,22 +234,19 @@ def test_job_dedup_across_resume_boundary(spark, pages_parquet, tmp_path):
     base = pq.read_table(pages_parquet)
     nonempty = [r for r in base.to_pylist() if (r["text"] or "").strip()]
 
-    def part_of(url: str) -> int:
-        return spark.sql(
-            f"SELECT pmod(xxhash64('{url}'), {num_parts}) AS p"
-        ).first().p
-
+    # ONE query assigns every candidate url (originals + copy names) a part
+    cands = [f"zdup://resume-{i}" for i in range(20)]
+    urls = [r["url"] for r in nonempty] + cands
+    part = {
+        r.url: r.p
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .selectExpr("url", f"pmod(xxhash64(url), {num_parts}) AS p")
+        .collect()
+    }
     # pick an original whose part differs from its copy's part
-    winner = loser_url = None
-    for r in nonempty:
-        for i in range(20):
-            cand = f"zdup://resume-{i}"
-            if part_of(cand) != part_of(r["url"]):
-                winner, loser_url = r, cand
-                break
-        if winner:
-            break
-    assert winner is not None
+    winner, loser_url = next(
+        (r, c) for r in nonempty for c in cands if part[c] != part[r["url"]]
+    )
     copy = dict(winner)
     copy["url"] = loser_url
 
@@ -262,7 +259,7 @@ def test_job_dedup_across_resume_boundary(spark, pages_parquet, tmp_path):
     # run 1: ONLY the winner's part completes
     run_extraction_job(
         spark, str(in_dir), out, run_id="p1", num_parts=num_parts,
-        only_parts=[part_of(winner["url"])], dedup="exact",
+        only_parts=[part[winner["url"]]], dedup="exact",
     )
     # run 2: resume the rest — the loser's part now runs with the winner's
     # part already done; the loser must still be dropped
@@ -273,6 +270,62 @@ def test_job_dedup_across_resume_boundary(spark, pages_parquet, tmp_path):
     written = spark.read.parquet(f"{out}/extractions")
     assert written.filter(F.col("url") == loser_url).count() == 0
     assert written.filter(F.col("url") == winner["url"]).count() >= 1
+
+
+def test_job_dedup_all_loser_part_completes(spark, tmp_path):
+    """A partition whose EVERY page is a dedup loser writes no output rows
+    but must still get a 'completed' lineage row (with its dups_dropped) —
+    otherwise each resume re-runs it and re-counts its losers forever."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from ocr_sam_project_spark.sources.io import PAGES_ARROW_SCHEMA
+
+    num_parts = 4
+    # one query assigns candidate urls to parts (pmod(xxhash64(url), 4))
+    cands = [f"https://w{i}.example/a" for i in range(40)]
+    part = {
+        r.url: r.p
+        for r in spark.createDataFrame([(u,) for u in cands], "url string")
+        .selectExpr("url", f"pmod(xxhash64(url), {num_parts}) AS p")
+        .collect()
+    }
+    # winner = the globally smallest url (so it always wins the keep-min
+    # tie-break); loser (same text) is ALONE in a different part
+    winner = min(cands)
+    pa_ = part[winner]
+    extra = next(u for u in cands if part[u] == pa_ and u != winner)
+    loser = next(u for u in sorted(cands) if part[u] != pa_)
+    pb_ = part[loser]
+    T = datetime(2025, 1, 1, 10, 0)
+    rows = [
+        {"url": winner, "warc_ts": T, "html": None, "text": "texto compartido x", "lang": "es"},
+        {"url": extra, "warc_ts": T, "html": None, "text": "otro texto unico", "lang": "es"},
+        {"url": loser, "warc_ts": T, "html": None, "text": "Texto  COMPARTIDO x", "lang": "es"},
+    ]
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows, schema=PAGES_ARROW_SCHEMA), str(in_dir / "p.parquet"))
+
+    out = str(tmp_path / "out")
+    s1 = run_extraction_job(
+        spark, str(in_dir), out, run_id="r1", num_parts=num_parts, dedup="exact"
+    )
+    assert s1["dups_dropped"] == 1
+    lin = spark.read.parquet(f"{out}/lineage")
+    loser_part_rows = lin.filter(F.col("part_id") == pb_).collect()
+    assert len(loser_part_rows) == 1  # the dedup-emptied part IS completed
+    assert loser_part_rows[0].dups_dropped == 1
+    assert loser_part_rows[0].docs_in == 0
+
+    # resume: nothing left to do, and the loser is NOT re-counted
+    s2 = run_extraction_job(
+        spark, str(in_dir), out, run_id="r2", num_parts=num_parts, dedup="exact"
+    )
+    assert s2["docs_in"] == 0
+    assert s2["dups_dropped"] == 0
 
 
 def test_metrics_written(spark, pages_parquet, tmp_path):
