@@ -352,6 +352,7 @@ def resolve_clusters(
         .localCheckpoint(eager=False)
     )
     converged = False
+    prev_sum = object()  # sentinel: never equal on the first round
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -375,16 +376,17 @@ def resolve_clusters(
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new.alias("n")
-            .join(lab.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        # convergence via the label sum: every per-node update is F.least, so
+        # labels are monotonically nonincreasing — the sum is unchanged iff NO
+        # label changed.  One aggregate job instead of a join+count per round.
+        # DECIMAL(38,0): exact, and sum(int64 ids) overflows bigint at web
+        # scale (10^12 ids x 10^12 magnitude), which ANSI mode makes an error.
+        cur_sum = new.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
         lab = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if not converged:
         warnings.warn(
             f"resolve_clusters: not converged after {max_iter} rounds; "
