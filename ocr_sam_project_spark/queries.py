@@ -1014,7 +1014,7 @@ def _t_curate_duck() -> str:
                 AND {_REP_ADJ_FRAC_DUCK} <= 0.1),
     g AS (SELECT quality, {ntok} AS n_toks, {score_sel} FROM gated)
     SELECT (CASE {' '.join(cases)} ELSE 'und' END) AS lang_guess,
-           COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+           COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
            ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
     FROM g GROUP BY 1"""
 

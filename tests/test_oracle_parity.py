@@ -68,6 +68,21 @@ def test_oracle_parity(spark, duck, name):
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
 
 
+def test_no_hugeint_oracle_columns(duck):
+    """Guard against the DuckDB integer-sum widening class of driver
+    hash-fails (r1 `a2`, r3 `t_curate_corpus`): DuckDB widens SUM(BIGINT)
+    to HUGEINT (int128), which Spark cannot produce, so the driver's typed
+    value-hash diverges even when every value matches. Every oracle must
+    CAST such sums back to BIGINT."""
+    offenders = {}
+    for name, sql in sorted(ORACLES.items()):
+        types = [str(t).upper() for t in duck.sql(sql).types]
+        bad = [t for t in types if "HUGEINT" in t or "INT128" in t]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"oracles with HUGEINT/INT128 output columns: {offenders}"
+
+
 def test_rows_only_queries_run(spark):
     for name in sorted(set(QUERY_FNS) - set(ORACLES)):
         df = QUERY_FNS[name](spark, SF_DIR)
