@@ -15,6 +15,14 @@ extraction job (scan -> Arrow extract -> parquet write), on a synthetic
 deterministic pages table sized to the SF.  Query timings force full
 computation via the noop sink (count() would let Catalyst prune the very
 projections being measured).
+
+Contention robustness (BENCH_r03 recorded a 20.2 s headline in a window
+where the same file's pipeline_extract measured 2.7 s — a VM stall, not a
+plan change): every entry is timed over INTERLEAVED rounds (rep 1 of every
+entry, then rep 2 of every entry, ...) so a single contended window cannot
+own all reps of one entry; the reported number is the MEDIAN of reps, with
+min/max spread published in the JSON; any entry whose spread exceeds 3x
+(max > 3*min) gets extra reps appended before the median is taken.
 """
 
 from __future__ import annotations
@@ -63,6 +71,17 @@ BENCH_QUERIES = [
     "pipeline_extract",
 ]
 
+QUERY_ROUNDS = 3  # interleaved reps per query entry
+HEADLINE_ROUNDS = 5  # the driver-graded number gets median-of-5
+STALL_SPREAD = 3.0  # max/min beyond this => contended window hit; extra reps
+EXTRA_REPS = 2
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -102,115 +121,142 @@ def main() -> None:
 
     sf = _sf_from_dir(SF_DIR)
 
-    # ---- headline: full extraction job over synthetic pages ----------------
-    from ocr_sam_project_spark.pipeline.job import run_extraction_job
-
-    pages_path, n_pages = _pages_parquet(sf)
-    # warm the JVM/codegen/Arrow path first so the measured run is
-    # steady-state (the driver compares per-round numbers)
-    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
-    run_extraction_job(spark, pages_path, warm_dir, run_id="warm", num_parts=CPUS)
-    shutil.rmtree(warm_dir, ignore_errors=True)
-    # best of 3 (the sandbox VM shows sporadic multi-second stalls)
-    pipeline_sec, summary = None, None
-    for rep in range(3):
-        out_dir = tempfile.mkdtemp(prefix="bench_extract_")
-        t0 = time.monotonic()
-        s = run_extraction_job(
-            spark, pages_path, out_dir, run_id=f"bench{rep}", num_parts=CPUS
-        )
-        el = time.monotonic() - t0
-        shutil.rmtree(out_dir, ignore_errors=True)
-        if pipeline_sec is None or el < pipeline_sec:
-            pipeline_sec, summary = el, s
-    docs_per_sec = summary["docs_in"] / summary["elapsed_sec"] if summary["elapsed_sec"] else 0.0
-
-    # dedup-enabled variant: the 100 TB ordering (drop dups BEFORE paying
-    # Python extraction) — reported so the dedup stage's cost is visible.
-    # The synthetic corpus is duplicate-free, so the stage would otherwise
-    # drop nothing; plant a deterministic ~10% duplicated slice (same text,
-    # new url) so the benched run does the real work: detect, drop, and
-    # SKIP the Arrow stage for every planted copy.
-    from pyspark.sql import functions as _F
-
-    # deterministic, so cached alongside the base corpus (same key scheme)
-    dup_path = pages_path.replace(".parquet", "_dup.parquet")
-    if not os.path.exists(dup_path):
-        base_pages = spark.read.parquet(pages_path)
-        planted = base_pages.filter(
-            _F.pmod(_F.xxhash64("url"), _F.lit(10)) == 0
-        ).withColumn("url", _F.concat(_F.col("url"), _F.lit("#dup")))
-        base_pages.unionByName(planted).write.mode("overwrite").parquet(dup_path)
-    dedup_sec, s_dd = None, None
-    for rep in range(2):
-        dd_dir = tempfile.mkdtemp(prefix="bench_dedup_")
-        t0 = time.monotonic()
-        s = run_extraction_job(
-            spark, dup_path, dd_dir, run_id=f"dd{rep}", num_parts=CPUS, dedup="exact"
-        )
-        el = time.monotonic() - t0
-        shutil.rmtree(dd_dir, ignore_errors=True)
-        if dedup_sec is None or el < dedup_sec:
-            dedup_sec, s_dd = el, s
-
-    # ---- per-query timings --------------------------------------------------
-    from ocr_sam_project_spark.queries import QUERY_FNS, _load
-
-    # warm the SQL path once before timing: view registration + a scan that
-    # touches the two big tables absorbs file-listing/codegen/JIT warm-up
-    # (BENCH_r01's q1=19.7s was all warm-up, not plan cost)
-    _load(spark, SF_DIR)
-    for t in ("lineitem", "orders", "documents", "embeddings"):
-        spark.table(t).write.format("noop").mode("overwrite").save()
-
-    qtimes: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERY_FNS[name]
-        best = None
-        for _rep in range(3):  # best-of-3: sporadic VM stalls
-            t0 = time.monotonic()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            el = time.monotonic() - t0
-            best = el if best is None or el < best else best
-        qtimes[name] = round(best, 3)
-
-    # ---- LSH two-phase: materialized signatures (the real scale shape) ----
-    # ingest half: signature table built once (amortized over all queries);
-    # query half: probe-only over the stored column — compare to brute
-    # s_topk_cosine above.
     from pyspark.sql import functions as SF
 
     from ocr_sam_project_spark.operators.similarity import (
         rhp_signature_table,
         topk_cosine_lsh_probe,
     )
+    from ocr_sam_project_spark.pipeline.job import run_extraction_job
+    from ocr_sam_project_spark.queries import QUERY_FNS, _load
 
+    pages_path, n_pages = _pages_parquet(sf)
+
+    # dedup-enabled variant input: the 100 TB ordering (drop dups BEFORE
+    # paying Python extraction).  The synthetic corpus is duplicate-free, so
+    # plant a deterministic ~10% duplicated slice (same text, new url) so the
+    # benched run does real work: detect, drop, and SKIP the Arrow stage for
+    # every planted copy.
+    dup_path = pages_path.replace(".parquet", "_dup.parquet")
+    if not os.path.exists(dup_path):
+        base_pages = spark.read.parquet(pages_path)
+        planted = base_pages.filter(
+            SF.pmod(SF.xxhash64("url"), SF.lit(10)) == 0
+        ).withColumn("url", SF.concat(SF.col("url"), SF.lit("#dup")))
+        base_pages.unionByName(planted).write.mode("overwrite").parquet(dup_path)
+
+    # ---- warm-up ----------------------------------------------------------
+    # one full extraction job warms the JVM/codegen/Arrow python workers; a
+    # noop scan of the big tables absorbs file-listing/codegen warm-up
+    # (BENCH_r01's q1=19.7s was all warm-up, not plan cost)
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    run_extraction_job(spark, pages_path, warm_dir, run_id="warm", num_parts=CPUS)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    _load(spark, SF_DIR)
+    for t in ("lineitem", "orders", "documents", "embeddings"):
+        spark.table(t).write.format("noop").mode("overwrite").save()
+
+    # ---- LSH cold build: one-time session cost, measured exactly once ----
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qv = [float(x) for x in emb.filter(SF.col("vec_id") == 0).first().embedding]
     sig_dir = tempfile.mkdtemp(prefix="bench_sig_")
     # honesty split (BENCH_r02: driver saw 24.5 s here where BENCH.md said
-    # 1.0 s — the gap was 32 Python workers cold-spawning under VM
-    # contention on a 2000-row job, a ONE-TIME session cost, not sig math):
-    # report the cold first pass AND the warm steady-state separately.
+    # 1.0 s — 32 Python workers cold-spawning under VM contention, a
+    # ONE-TIME session cost, not sig math): report cold and warm separately.
     t0 = time.monotonic()
     rhp_signature_table(emb).write.format("noop").mode("overwrite").save()
-    qtimes["s_lsh_sig_build_cold"] = round(time.monotonic() - t0, 3)
-    best = None
-    for _rep in range(2):
-        t0 = time.monotonic()
-        rhp_signature_table(emb).write.mode("overwrite").parquet(sig_dir)
-        el = time.monotonic() - t0
-        best = el if best is None or el < best else best
-    qtimes["s_lsh_sig_build_once"] = round(best, 3)
+    lsh_cold_sec = round(time.monotonic() - t0, 3)
+    rhp_signature_table(emb).write.mode("overwrite").parquet(sig_dir)
     sig_df = spark.read.parquet(sig_dir)
-    best = None
-    for _rep in range(3):
+
+    # ---- timed entries ----------------------------------------------------
+    # Each entry is (name, thunk, rounds).  Thunks force full computation.
+    summaries: dict[str, dict] = {}
+
+    def _job(path: str, dedup: str | None, tag: str):
+        def run(rep: int) -> None:
+            out_dir = tempfile.mkdtemp(prefix=f"bench_{tag}_")
+            kw = {"dedup": dedup} if dedup else {}
+            summaries[tag] = run_extraction_job(
+                spark, path, out_dir, run_id=f"{tag}{rep}", num_parts=CPUS, **kw
+            )
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+        return run
+
+    def _query(name: str):
+        fn = QUERY_FNS[name]
+
+        def run(rep: int) -> None:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+        return run
+
+    entries: list[tuple[str, object, int]] = [
+        ("headline", _job(pages_path, None, "headline"), HEADLINE_ROUNDS),
+        ("dedup_pipeline", _job(dup_path, "exact", "dedup"), QUERY_ROUNDS),
+    ]
+    entries += [(n, _query(n), QUERY_ROUNDS) for n in BENCH_QUERIES]
+    entries.append(
+        (
+            "s_lsh_sig_build_once",
+            lambda rep: rhp_signature_table(emb)
+            .write.mode("overwrite")
+            .parquet(os.path.join(sig_dir, "rebuild")),
+            QUERY_ROUNDS,
+        )
+    )
+    entries.append(
+        (
+            "s_lsh_probe_only",
+            lambda rep: topk_cosine_lsh_probe(sig_df, qv, k=10)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            QUERY_ROUNDS,
+        )
+    )
+
+    times: dict[str, list[float]] = {name: [] for name, _, _ in entries}
+
+    def _run_once(name: str, thunk, rep: int) -> None:
         t0 = time.monotonic()
-        topk_cosine_lsh_probe(sig_df, qv, k=10).write.format("noop").mode("overwrite").save()
-        el = time.monotonic() - t0
-        best = el if best is None or el < best else best
-    qtimes["s_lsh_probe_only"] = round(best, 3)
+        thunk(rep)
+        times[name].append(time.monotonic() - t0)
+
+    # interleaved rounds: rep k of EVERY entry before rep k+1 of any, so a
+    # contended window is spread across entries instead of owning one entry
+    max_rounds = max(r for _, _, r in entries)
+    for rnd in range(max_rounds):
+        for name, thunk, rounds in entries:
+            if rnd < rounds:
+                _run_once(name, thunk, rnd)
+
+    # stall detection: spread beyond 3x means some reps hit a contended
+    # window — append extra reps so the median is taken over a larger,
+    # mostly-clean sample
+    stalled: list[str] = []
+    for name, thunk, _rounds in entries:
+        ts = times[name]
+        if max(ts) > STALL_SPREAD * min(ts):
+            stalled.append(name)
+            for rep in range(EXTRA_REPS):
+                _run_once(name, thunk, 100 + rep)
+
+    med = {name: _median(ts) for name, ts in times.items()}
+    spread = {
+        name: [round(min(ts), 3), round(max(ts), 3)] for name, ts in times.items()
+    }
+
+    pipeline_sec = med["headline"]
+    summary = summaries["headline"]
+    s_dd = summaries["dedup"]
+    docs_per_sec = n_pages / pipeline_sec if pipeline_sec else 0.0
+
+    qtimes = {n: round(med[n], 3) for n in BENCH_QUERIES}
+    qtimes["s_lsh_sig_build_cold"] = lsh_cold_sec
+    qtimes["s_lsh_sig_build_once"] = round(med["s_lsh_sig_build_once"], 3)
+    qtimes["s_lsh_probe_only"] = round(med["s_lsh_probe_only"], 3)
     shutil.rmtree(sig_dir, ignore_errors=True)
 
     print(
@@ -225,10 +271,14 @@ def main() -> None:
                 "pages": n_pages,
                 "segments_out": summary["segments_out"],
                 "errors": summary["errors"],
-                "dedup_exact_pipeline_sec": round(dedup_sec, 3),
+                "dedup_exact_pipeline_sec": round(med["dedup_pipeline"], 3),
                 "dedup_pages_in": s_dd["docs_in"] + s_dd["dups_dropped"],
                 "dedup_dups_dropped": s_dd["dups_dropped"],
                 "cpus": CPUS,
+                "stat": "median",
+                "reps": {"headline": len(times["headline"]), "queries": QUERY_ROUNDS},
+                "spread": spread,
+                "stall_reruns": stalled,
             }
         )
     )
