@@ -493,27 +493,100 @@ def with_simhash(
     )
 
 
+MAX_SIMHASH_BUCKET = 4096  # per-(band,value) cap — degenerate-bucket guard
+
+
+def simhash_bands(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """Pigeonhole band layout: (shift, width) for each of max_hamming+1
+    contiguous bit bands.  Any pair with hamming <= max_hamming differs in
+    at most max_hamming bits, so by pigeonhole it agrees EXACTLY on at
+    least one of the max_hamming+1 bands — banding has exact recall, unlike
+    the old top-byte blocker (which missed pairs differing in the top byte
+    and bounded the bucket count at 256)."""
+    if max_hamming >= bits:
+        # radius covers the whole hash: every pair qualifies — one constant
+        # band (val=0 for all rows), i.e. an explicit all-pairs comparison
+        return [(0, 0)]
+    n_bands = min(max_hamming + 1, bits)
+    widths = [bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    out, shift = [], 0
+    for w in widths:
+        out.append((shift, w))
+        shift += w
+    return out
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 16,
     max_hamming: int = 2,
+    max_bucket: int = MAX_SIMHASH_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= max_hamming.
-    Scale path: block on the high byte of the simhash (near-dups almost
-    always share it for small hamming radii), then verify in-bucket."""
+
+    Scale path (pigeonhole banding, exact recall): split the b-bit hash
+    into max_hamming+1 bands; candidates = pairs equal in >=1 band; verify
+    bit_count(xor) <= max_hamming in-bucket.  Bucket cardinality per band
+    is 2^(bits/(h+1)) — at production bits=64, h=2 that is 2^21 ≈ 2M
+    buckets per band, so in-bucket self-pairing stays linear-ish at 10^9+
+    docs (vs the old single-high-byte blocker's 256 buckets and O((n/256)^2)
+    blowup).  Buckets larger than max_bucket are dropped entirely (both
+    here and in the DuckDB oracle twin): at web scale one boilerplate text
+    would otherwise create an O(n^2) bucket — same guard as MinHash-LSH's
+    MAX_BUCKET.  One shuffle total: explode to (band,val), groupBy-collect,
+    pair within bucket."""
+    layout = simhash_bands(bits, max_hamming)
     s = with_simhash(spread_scan(df), text_col, bits).select(
         F.col(id_col).alias("id"), "sh"
     )
-    s = s.withColumn("blk", F.shiftright(F.col("sh"), bits - 8))
-    a, b = s.alias("a"), s.alias("b")
-    return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    banded = s.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sh"), shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i, (shift, width) in enumerate(layout)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+    buckets = (
+        banded.groupBy("band", "val")
+        .agg(F.count("*").alias("n"), F.collect_list(F.struct("id", "sh")).alias("rows"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
     )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "rows",
+                            lambda x: F.transform(
+                                "rows",
+                                lambda y: F.struct(
+                                    x["id"].alias("id_a"),
+                                    y["id"].alias("id_b"),
+                                    F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias(
+                                        "hamming"
+                                    ),
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: (p["id_a"] < p["id_b"]) & (p["hamming"] <= max_hamming),
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .distinct()
+    )
+    return pairs

@@ -1738,17 +1738,30 @@ def _d_simhash_nd_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
-def _d_simhash_nd_duck() -> str:
+def _d_simhash_nd_duck(bits: int = 16, max_hamming: int = 2, max_bucket: int = 4096) -> str:
+    """Exact twin of dedup.simhash_near_dups: same pigeonhole band layout
+    (simhash_bands), same per-bucket cap, same hamming verify."""
+    from .operators.dedup import simhash_bands
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, sh, {i} AS band, (sh >> {shift}) & {(1 << width) - 1} AS val FROM s"
+        for i, (shift, width) in enumerate(simhash_bands(bits, max_hamming))
+    )
     return f"""
-    WITH s AS (SELECT doc_id AS id, sh, sh >> 8 AS blk FROM ({_d_simhash_duck()}) t)
-    SELECT a.id AS id_a, b.id AS id_b,
+    WITH s AS (SELECT doc_id AS id, sh FROM ({_d_simhash_duck(bits)}) t),
+    banded AS ({band_rows}),
+    ok AS (SELECT band, val FROM banded GROUP BY band, val
+           HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_bucket})
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-    FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
-    WHERE bit_count(xor(a.sh, b.sh)) <= 2"""
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.val = b.val AND a.id < b.id
+    JOIN ok ON ok.band = a.band AND ok.val = a.val
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"""
 
 
-# simhash near-dup pairs: block on high byte, hamming<=2 inside blocks —
-# the simhash scale path, oracle-verified end to end.
+# simhash near-dup pairs: pigeonhole banding (exact recall at hamming<=2),
+# per-bucket cap — the simhash scale path, oracle-verified end to end.
 QUERY_FNS["d_simhash_near_dups"] = _d_simhash_nd_fn
 ORACLES["d_simhash_near_dups"] = _d_simhash_nd_duck()
 

@@ -203,6 +203,42 @@ def test_simhash_hamming(docs):
         assert pairs[(1, 3)] <= pairs[(1, 4)]
 
 
+def test_simhash_banding_exact_recall(spark):
+    """Pigeonhole banding must find EVERY hamming<=k pair — including pairs
+    whose differing bits sit in the top byte, which the old single-high-byte
+    blocker silently missed.  Ground truth: brute-force all-pairs hamming
+    over the collected simhashes."""
+    from ocr_sam_project_spark.operators.dedup import simhash_near_dups, with_simhash
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    toks = base.split()
+    rows = [(0, base, "en")]
+    # one-token perturbations -> many small-hamming pairs with differing
+    # bits scattered across the whole 16-bit hash
+    for i in range(1, 60):
+        t = list(toks)
+        t[i % len(t)] = f"w{i}"
+        rows.append((i, " ".join(t), "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    sh = {r.doc_id: r.sh for r in with_simhash(docs).select("doc_id", "sh").collect()}
+    truth = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 2
+    }
+    # the planted set must actually exercise the old blocker's blind spot:
+    # at least one true pair whose xor touches the top 8 bits
+    assert any((sh[a] ^ sh[b]) >> 8 != 0 for a, b in truth), "vacuous planted set"
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dups(docs, bits=16, max_hamming=2).collect()
+    }
+    assert got == truth  # exact recall AND no false positives post-verify
+
+
 def test_ivf_search_probes_posting_lists(spark):
     """ivf_search touches only the nprobe nearest posting lists; with the
     query's own centroid probed it must return the query itself first, and
