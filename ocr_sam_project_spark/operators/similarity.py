@@ -245,17 +245,27 @@ def ivf_centroids(
     )
 
 
+def _round6_half_away(x):
+    """6-dp round-half-AWAY-FROM-ZERO (numpy array or scalar) — the same
+    rounding mode as Spark's F.round (HALF_UP) and DuckDB's ROUND, unlike
+    np.round/Python round (half-to-even).  Exact half boundaries are
+    essentially unreachable for float64 cosines, but using one mode
+    everywhere closes the cross-engine rounding hole."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def _cos_py(u, v) -> float:
     """Driver-side cosine with SEQUENTIAL float64 sums — the same fold order
     as F.aggregate and DuckDB list_dot_product, so centroid rankings agree
-    across engines; rounded to 6 dp like every stored sim."""
+    across engines; rounded to 6 dp half-away-from-zero like every stored
+    sim (F.round / DuckDB ROUND)."""
     d = nu = nv = 0.0
     for a, b in zip(u, v):
         a, b = float(a), float(b)
         d += a * b
         nu += a * a
         nv += b * b
-    return round(d / ((nu**0.5) * (nv**0.5)), 6)
+    return float(_round6_half_away(d / ((nu**0.5) * (nv**0.5))))
 
 
 def ivf_assign(
@@ -263,6 +273,7 @@ def ivf_assign(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF coarse assignment with deterministic centroids: the centroid set
     is the vectors whose hash64(id) is smallest (a frozen pseudo-random
@@ -285,7 +296,11 @@ def ivf_assign(
 
     from .skew import spread_scan
 
-    cent_rows = ivf_centroids(df, n_centroids, id_col, vec_col)
+    cent_rows = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(df, n_centroids, id_col, vec_col)
+    )
     if not cent_rows:  # empty corpus: no centroids, nothing to assign
         return df.withColumn("centroid_id", F.lit(None).cast("bigint"))
     order = sorted(range(len(cent_rows)), key=lambda i: int(cent_rows[i].cid))
@@ -301,7 +316,7 @@ def ivf_assign(
             return pd.Series([], dtype="int64")
         m = np.vstack(v.to_numpy()).astype(np.float64)  # (batch, dim)
         vnorm = np.sqrt((m * m).sum(axis=1))
-        sims = np.round((m @ C) / (vnorm[:, None] * cnorm[None, :]), 6)
+        sims = _round6_half_away((m @ C) / (vnorm[:, None] * cnorm[None, :]))
         return pd.Series(cids[np.argmax(sims, axis=1)])
 
     return spread_scan(df).withColumn("centroid_id", _assign(F.col(vec_col)))
@@ -316,6 +331,7 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assigned_col: str | None = None,
+    centroids: list | None = None,
 ) -> DataFrame:
     """QUERY half of IVF (the half a user actually calls): rank centroids by
     query cosine, scan ONLY the `nprobe` nearest centroids' posting lists,
@@ -323,19 +339,33 @@ def ivf_search(
     neighbor assigned to an unprobed centroid is missed); raise nprobe to
     trade cost for recall.
 
-    Deployment shape at scale: run ivf_assign once at ingest and store
+    Deployment shape at scale: run ivf_assign once at ingest, store
     `centroid_id` (ideally as a partition/cluster key, so the probe filter
-    below becomes partition PRUNING, not even a scan+filter) — then pass the
-    stored table with assigned_col="centroid_id".  Called without it, the
-    assignment pass is fused in (bench/small-corpus convenience)."""
+    below becomes partition PRUNING, not even a scan+filter) AND persist the
+    tiny centroid list next to it (ivf_centroids — n_centroids rows) — then
+    pass the stored table with assigned_col="centroid_id" and
+    centroids=<that list>.  The stored path touches NOTHING but the probed
+    posting lists: centroid ranking is a driver-side loop over the passed
+    rows, never a corpus scan (passing assigned_col without centroids is an
+    error precisely so a per-query full-table centroid rescan cannot creep
+    back in).  Called with neither, the assignment pass is fused in
+    (bench/small-corpus convenience) and the centroid sample is computed
+    exactly once, shared by assignment and ranking."""
+    if centroids is None:
+        if assigned_col is not None:
+            raise ValueError(
+                "ivf_search(assigned_col=...) requires the centroids persisted "
+                "at ivf_assign time — recomputing them would rescan the corpus "
+                "per query"
+            )
+        centroids = ivf_centroids(df, n_centroids, id_col, vec_col)
     if assigned_col is None:
-        adf = ivf_assign(df, n_centroids, id_col, vec_col)
+        adf = ivf_assign(df, n_centroids, id_col, vec_col, centroids=centroids)
         assigned_col = "centroid_id"
     else:
         adf = df
     ranked = sorted(
-        ivf_centroids(df, n_centroids, id_col, vec_col),
-        key=lambda r: (-_cos_py(query_vec, r.cvec), int(r.cid)),
+        centroids, key=lambda r: (-_cos_py(query_vec, r.cvec), int(r.cid))
     )
     probe = [int(r.cid) for r in ranked[:nprobe]]
     cand = adf.filter(F.col(assigned_col).isin(probe)).drop(assigned_col)

@@ -252,11 +252,15 @@ def test_ivf_search_probes_posting_lists(spark):
     fused = [(r.vec_id, r.sim) for r in ivf_search(emb, q, k=5, nprobe=2, n_centroids=8).collect()]
     assert fused[0][0] == 0 and fused[0][1] == 1.0  # self in its own list
 
-    stored = ivf_assign(emb, n_centroids=8)  # the ingest half, materialized
+    from ocr_sam_project_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(emb, n_centroids=8)  # persisted at ingest
+    stored = ivf_assign(emb, n_centroids=8, centroids=cents)
     probed = [
         (r.vec_id, r.sim)
         for r in ivf_search(
-            stored, q, k=5, nprobe=2, n_centroids=8, assigned_col="centroid_id"
+            stored, q, k=5, nprobe=2, n_centroids=8,
+            assigned_col="centroid_id", centroids=cents,
         ).collect()
     ]
     assert probed == fused

@@ -123,6 +123,39 @@ def test_ivf_assign_is_narrow(spark):
     assert "HashAggregate" not in plan, plan
 
 
+def test_ivf_search_stored_path_single_scan(spark, tmp_path):
+    """The stored-assignment deployment (centroid_id + centroid list
+    persisted at ingest) must touch the corpus EXACTLY ONCE, via the
+    posting-list probe filter — no second scan for centroid ranking (the
+    r3 form called ivf_centroids(df) per query: a full-table orderBy+limit
+    per search at 100 TB).  The probe filter must also push down to the
+    parquet scan."""
+    from ocr_sam_project_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, n_centroids=8)
+    stored_path = str(tmp_path / "ivf_assigned")
+    ivf_assign(emb, n_centroids=8, centroids=cents).write.parquet(stored_path)
+    stored = spark.read.parquet(stored_path)
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    res = ivf_search(
+        stored, q, k=5, nprobe=2, n_centroids=8,
+        assigned_col="centroid_id", centroids=cents,
+    )
+    plan = _plan(res)
+    assert plan.count("Scan parquet") == 1, plan  # posting lists only
+    assert "centroid_id" in plan.split("PushedFilters")[-1].split("]")[0], plan
+
+    # forgetting the persisted centroids must be an error, not a rescan
+    with pytest.raises(ValueError):
+        ivf_search(stored, q, assigned_col="centroid_id")
+
+
 def test_partition_transform_lookup_prunes(spark, pages_parquet, tmp_path):
     """Iceberg-style layout on plain parquet: writing partitioned by
     (days(warc_ts), bucket(url)) makes a url point-lookup a PARTITION
