@@ -1941,3 +1941,79 @@ def _s_topk_batch_duck(k: int = 5) -> str:
 
 QUERY_FNS["s_topk_batch"] = _s_topk_batch_fn
 ORACLES["s_topk_batch"] = _s_topk_batch_duck()
+
+
+# ===========================================================================
+# Driver-window ordering
+# ===========================================================================
+# The correctness driver records the FIRST 50 registered queries
+# (CORRECTNESS_r01-r03 hold exactly the first 50 in registration order), so
+# re-insert the registry with the flagship parity invariants
+# (pipeline_text_parity — the north_rule byte-identical-text check — entity
+# and field parity) and the training-data operators (dedup / clusters / ANN)
+# ahead of the normalizer micro-queries.  Everything still runs in the
+# pytest parity gate regardless of position.
+_DRIVER_PRIORITY = [
+    "pipeline_text_parity",
+    "pipeline_entities_parity",
+    "pipeline_fields_parity",
+    "pipeline_cedulas",
+    "d_lsh_clusters",
+    "d_minhash_lsh_portable",
+    "d_simhash_near_dups",
+    "d_simhash_clusters",
+    "d_exact_dedup",
+    "d_dedup_against_store",
+    "d_minhash_sig",
+    "d_ngram_jaccard",
+    "d_simhash",
+    "s_topk_batch",
+    "s_ivf_search",
+    "s_ivf_assign",
+    "s_topk_cosine_lsh",
+    "s_topk_cosine",
+    "s_near_dup_cosine",
+    "s_cosine_clusters",
+    "t_curate_corpus",
+    "t_token_count",
+    "t_repetition",
+    "t_lang_id",
+    "t_quality",
+    "t_winnow_fingerprint",
+    "m_binary_features",
+    "m_media_features",
+    "m_frame_sample",
+    "x8_enrich_inject",
+    "a1_monto_total",
+    "a2_status_rollup",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "a4_success_rate",
+    "a5_field_count",
+    "w1_secuencia",
+    "w3_topk_per_group",
+    "j1_equi_join",
+    "j4_taxonomy_join",
+    "j5_asof_join",
+    "w4_tumbling_window",
+    "w5_sessionize",
+    "a8_percentiles",
+    "a9_rollup",
+    "f_count_tolerance",
+    "f1_validity_filter",
+    "f5_success_split",
+    "f6_schema_projection",
+    "c1_classify",
+]
+
+
+def _reorder_for_driver() -> None:
+    front = [n for n in _DRIVER_PRIORITY if n in QUERY_FNS]
+    rest = [n for n in QUERY_FNS if n not in set(front)]
+    for d in (QUERY_FNS, ORACLES):
+        ordered = {n: d[n] for n in front + rest if n in d}
+        d.clear()
+        d.update(ordered)
+
+
+_reorder_for_driver()
