@@ -174,6 +174,17 @@ def run_extraction_job(
             .collect()
         }
         dups_dropped = sum(dups_by_part.values())
+        # Regime note (100 TB): this anti-join broadcasts while the loser
+        # set fits spark.sql.autoBroadcastJoinThreshold (the common <~1%-dup
+        # case — losers are |dups|-sized, not corpus-sized).  Past that
+        # threshold the planner falls back to SortMergeJoin, i.e. a full
+        # wide shuffle of the PAGES including html payload — at a 10%-dup
+        # 100 TB corpus that shuffle is the job.  The high-dup deployment
+        # keeps the corpus bucketed by url at ingest (Iceberg bucket(url,N)
+        # transform) and writes the losers bucketed identically; then
+        # sources.bucketing.bucketed_anti_join does this step with NO
+        # Exchange on either side (plan-tested in
+        # test_plans.test_bucketed_dedup_anti_join_has_no_exchange).
         todo = todo.join(losers, "url", "left_anti")
         tm = _mark("dedup", tm)
 

@@ -31,3 +31,22 @@ def bucketed_join(
     """Join two identically-bucketed tables on their bucket key — planner
     produces a SortMergeJoin with NO Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def bucketed_anti_join(
+    spark: SparkSession, corpus_table: str, drop_table: str, key: str
+) -> DataFrame:
+    """Shuffle-free anti-join for the HIGH-DUP dedup regime.
+
+    The pipeline's loser-set anti-join (pipeline/job.py) broadcasts the
+    loser ids when they fit in spark.sql.autoBroadcastJoinThreshold.  At a
+    10%-dup 100 TB corpus the loser set is terabytes — not broadcastable —
+    and a plain anti-join degenerates into a full wide shuffle of the PAGES
+    (html payload and all).  The storage-owned fix: keep the corpus bucketed
+    by url at ingest (the Iceberg bucket(url, N) partition transform) and
+    write the loser set bucketed identically (write_bucketed) — then this
+    anti-join is a SortMergeJoin with NO Exchange on either side: each
+    bucket pair streams locally, the pages never move."""
+    return spark.table(corpus_table).join(
+        spark.table(drop_table), key, "left_anti"
+    )

@@ -95,6 +95,36 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_bucketed_dedup_anti_join_has_no_exchange(spark, pages_parquet):
+    """High-dup-regime dedup (loser set too big to broadcast): corpus and
+    losers both bucketed by url -> the anti-join is a SortMergeJoin with NO
+    Exchange — the pages (html payload included) never shuffle.  This is
+    the 100 TB escape hatch for pipeline/job.py's loser anti-join."""
+    from ocr_sam_project_spark.operators.dedup import dedup_losers
+    from ocr_sam_project_spark.sources.bucketing import (
+        bucketed_anti_join,
+        write_bucketed,
+    )
+
+    pages = spark.read.parquet(pages_parquet)
+    losers = dedup_losers(
+        pages.filter(F.length(F.trim(F.col("text"))) > 0), "exact", id_col="url"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(pages, "b_pages", "url", buckets=8)
+        write_bucketed(losers, "b_losers", "url", buckets=8)
+        survivors = bucketed_anti_join(spark, "b_pages", "b_losers", "url")
+        plan = _plan(survivors)
+        assert "Exchange" not in plan, plan
+        assert survivors.count() == pages.count() - losers.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_pages")
+        spark.sql("DROP TABLE IF EXISTS b_losers")
+
+
 def test_minhash_signatures_shuffle_free(spark):
     """r2 design point: signatures are per-row array_min(transform(...)) —
     NO shingle explode, NO groupBy shuffle (at web scale that shuffle IS
