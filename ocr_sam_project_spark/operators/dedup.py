@@ -454,6 +454,58 @@ def dedup_keep(
 
 
 # --------------------------------------------------------------------------
+def corpus_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, fp) — the persisted dedup state for CROSS-RUN incremental dedup
+    (the idempotent keyed-store analog of the reference's DynamoDB document
+    table, src/services/storage_service.py:68): after each run, append the
+    survivors' fingerprints; the next crawl dedups against it."""
+    return df.select(
+        F.col(id_col),
+        F.md5(normalize_for_fingerprint(F.col(text_col))).alias("fp"),
+    )
+
+
+def dedup_against_store(
+    new_df: DataFrame,
+    fp_store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup of a new crawl against the PERSISTED corpus:
+    keep-one within the new batch (min-id wins, same rule as dedup_losers),
+    then drop every survivor whose fingerprint already exists in fp_store.
+    Empty/whitespace texts bypass both gates — they share a fingerprint but
+    are not duplicates of each other (each keeps its own provenance).
+
+    Scale shape (100 TB store): ONE fp-shuffle of the new batch for the
+    in-batch window, then an anti-join on fp where the store side is pruned
+    to its single fp column; the new batch (a re-crawl) is usually tiny
+    next to the store, so keep the fp store BUCKETED by fp (sources.
+    bucketing.write_bucketed) and the store never shuffles at all.  After
+    the run, append corpus_fingerprints(survivors) to the store."""
+    from pyspark.sql import Window
+
+    nonempty = F.length(F.trim(F.col(text_col))) > 0
+    fps = new_df.withColumn(
+        "_fp",
+        F.when(nonempty, F.md5(normalize_for_fingerprint(F.col(text_col)))).otherwise(
+            F.concat(F.lit("empty:"), F.col(id_col).cast("string"))
+        ),
+    )
+    w = Window.partitionBy("_fp")
+    batch_kept = (
+        fps.withColumn("_keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
+    )
+    return batch_kept.join(
+        fp_store.select(F.col("fp").alias("_fp")), "_fp", "left_anti"
+    ).drop("_fp")
+
+
+# --------------------------------------------------------------------------
 def simhash(col: Column, bits: int = 16) -> Column:
     """SimHash over token hashes (Column form — prefer with_simhash in
     operators: here the md5 token-hash array sits inside each of the `bits`

@@ -1943,6 +1943,50 @@ QUERY_FNS["s_topk_batch"] = _s_topk_batch_fn
 ORACLES["s_topk_batch"] = _s_topk_batch_duck()
 
 
+def _d_store_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup: prior crawl = docs with doc_id%3==0
+    (fingerprints persisted); new crawl = the remaining docs PLUS re-crawled
+    copies (same text, shifted id) of every prior doc with doc_id%9==0.
+    Survivors must exclude every re-crawl and any new doc whose text already
+    exists in the store, keeping min-id within the new batch."""
+    from .operators.dedup import corpus_fingerprints, dedup_against_store
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prior = docs.filter(F.col("doc_id") % 3 == 0)
+    store = corpus_fingerprints(prior, id_col="doc_id").select("fp")
+    recrawl = prior.filter(F.col("doc_id") % 9 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    new_batch = docs.filter(F.col("doc_id") % 3 != 0).unionByName(recrawl)
+    return dedup_against_store(new_batch, store, id_col="doc_id").select("doc_id")
+
+
+def _d_store_duck() -> str:
+    norm = _NORM_DUCK.format(x="text")
+    return f"""
+    WITH fps AS (SELECT doc_id, text, md5({norm}) AS raw_fp FROM documents),
+    prior AS (SELECT raw_fp AS fp FROM fps WHERE doc_id % 3 = 0),
+    newb AS (
+        SELECT doc_id, text, raw_fp FROM fps WHERE doc_id % 3 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text, raw_fp FROM fps
+        WHERE doc_id % 3 = 0 AND doc_id % 9 = 0
+    ),
+    keyed AS (SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN 'empty:' || CAST(doc_id AS VARCHAR)
+                          ELSE raw_fp END AS fp
+              FROM newb),
+    kept AS (SELECT doc_id, fp FROM (
+               SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS k
+               FROM keyed) t WHERE doc_id = k)
+    SELECT doc_id FROM kept WHERE fp NOT IN (SELECT fp FROM prior)"""
+
+
+QUERY_FNS["d_dedup_against_store"] = _d_store_fn
+ORACLES["d_dedup_against_store"] = _d_store_duck()
+
+
 # ===========================================================================
 # Driver-window ordering
 # ===========================================================================

@@ -203,6 +203,49 @@ def test_simhash_hamming(docs):
         assert pairs[(1, 3)] <= pairs[(1, 4)]
 
 
+def test_dedup_against_store_drops_recrawled_dups(spark, tmp_path):
+    """Cross-run incremental dedup: duplicates of COMPLETED runs are
+    dropped on the next crawl, in-batch dups keep-one, empties pass, and
+    after appending the survivors' fps a replay of the same crawl drops
+    everything (idempotent keyed-store semantics)."""
+    from ocr_sam_project_spark.operators.dedup import (
+        corpus_fingerprints,
+        dedup_against_store,
+    )
+
+    run1 = spark.createDataFrame(
+        [("u1", "first page text"), ("u2", "second page text"), ("u3", "")],
+        "url string, text string",
+    )
+    store_path = str(tmp_path / "fp_store")
+    corpus_fingerprints(run1, id_col="url").write.parquet(store_path)
+
+    run2 = spark.createDataFrame(
+        [
+            ("u4", "brand new text"),
+            ("u5", "first  PAGE   text"),  # ws/case variant of run1's u1
+            ("u6", "another new text"),
+            ("u7", "another new text"),  # in-batch dup of u6 -> keep u6
+            ("u8", ""),  # empty: bypasses dedup
+        ],
+        "url string, text string",
+    )
+    store = spark.read.parquet(store_path)
+    survivors = {r.url for r in dedup_against_store(run2, store, id_col="url").collect()}
+    assert survivors == {"u4", "u6", "u8"}
+
+    # append survivors' fps; replaying the same crawl drops every non-empty
+    kept = dedup_against_store(run2, store, id_col="url")
+    corpus_fingerprints(kept, id_col="url").write.mode("append").parquet(store_path)
+    replay = {
+        r.url
+        for r in dedup_against_store(
+            run2, spark.read.parquet(store_path), id_col="url"
+        ).collect()
+    }
+    assert replay == {"u8"}  # empties always pass with their own provenance
+
+
 def test_simhash_banding_exact_recall(spark):
     """Pigeonhole banding must find EVERY hamming<=k pair — including pairs
     whose differing bits sit in the top byte, which the old single-high-byte
