@@ -170,20 +170,31 @@ def rhp_signature_table(
 
 
 def query_probe_sigs(query_vec: list[float], n_planes: int = 6, multiprobe: int = 1) -> list[int]:
-    """Signature bucket(s) a query probes: its own sign bits + `multiprobe`
-    single-bit flips (driver-side arithmetic, no Spark).
+    """Signature bucket(s) a query probes: every bucket within hamming
+    distance `multiprobe` of the query's own sign bits — i.e. all
+    combinations of up to `multiprobe` bit flips (driver-side arithmetic,
+    no Spark; C(n_planes, <=m) buckets, 22 at n_planes=6, m=2).  This is
+    exactly the set {s : bit_count(s XOR qsig) <= multiprobe} the DuckDB
+    oracle models, at ANY multiprobe (the r3 form only flipped single bits,
+    so it silently under-probed for multiprobe >= 2).
 
     The sign bits use the SAME NumPy matmul arithmetic as rhp_signature —
     a sequential Python sum can round a near-zero plane dot to the opposite
     sign and silently probe a bucket that disagrees with the stored
     signature (losing candidates beyond the modeled LSH recall)."""
+    from itertools import combinations
+
     planes = deterministic_planes(len(query_vec), n_planes)
     P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes) — as rhp_signature
     bits = (np.asarray(query_vec, dtype=np.float64) @ P) >= 0.0
     qsig = int(bits @ (1 << np.arange(P.shape[1])).astype(np.int64))
     probe = {qsig}
-    if multiprobe >= 1:
-        probe |= {qsig ^ (1 << b) for b in range(n_planes)}
+    for m in range(1, min(multiprobe, n_planes) + 1):
+        for flips in combinations(range(n_planes), m):
+            s = qsig
+            for b in flips:
+                s ^= 1 << b
+            probe.add(s)
     return sorted(probe)
 
 

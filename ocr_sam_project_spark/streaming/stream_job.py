@@ -67,13 +67,18 @@ def deduped_pages(
     the incremental counterpart of the batch pre-extract dedup stage
     (pipeline.job run_extraction_job(dedup="exact")).
 
-    dropDuplicates on (fp) with a watermark bounds the dedup state: Spark
-    keeps one state row per fingerprint seen within the watermark horizon
-    and drops any later arrival with the same fp.  "First" is guaranteed
-    ACROSS micro-batches (earlier batch populates state); within a single
-    micro-batch Spark keeps an arbitrary one of the tied rows.  At web scale the horizon
-    is the re-crawl window; an unbounded exact dedup would be a compaction
-    job over the stored corpus instead (state can't hold 10^12 keys).
+    dropDuplicatesWithinWatermark on (fp) gives GENUINELY watermark-bounded
+    state: a fingerprint's state row is evicted once the watermark passes
+    its event time + horizon, so two copies arriving within `watermark` of
+    each other dedup, while a copy re-crawled after the horizon is admitted
+    again (and the state table stays bounded by the horizon's page volume —
+    a plain dropDuplicates(['_fp']) would key state by fp FOREVER, growing
+    one row per distinct page ever seen).  "First" is guaranteed ACROSS
+    micro-batches (earlier batch populates state); within a single
+    micro-batch Spark keeps an arbitrary one of the tied rows.  At web
+    scale the horizon is the re-crawl window; an unbounded exact dedup is
+    the batch compaction job (or dedup_against_store) over the stored
+    corpus instead — state can't hold 10^12 keys.
     Empty/whitespace texts bypass dedup (they all share one fp but are NOT
     duplicates — each must reach quarantine with its own url), mirroring the
     batch stage's guard."""
@@ -82,7 +87,15 @@ def deduped_pages(
     dedupable = pages.filter(F.length(F.trim(F.col("text"))) > 0).withColumn(
         "_fp", fingerprint(F.col("text"))  # same canonical fp as batch dedup
     )
-    kept = dedupable.withWatermark("warc_ts", watermark).dropDuplicates(["_fp"]).drop("_fp")
+    deduped = dedupable.withWatermark("warc_ts", watermark)
+    # batch frames keep the one-code-path property: WithinWatermark is a
+    # streaming-only operator, and in batch the horizon is irrelevant anyway
+    deduped = (
+        deduped.dropDuplicatesWithinWatermark(["_fp"])
+        if deduped.isStreaming
+        else deduped.dropDuplicates(["_fp"])
+    )
+    kept = deduped.drop("_fp")
     passthrough = pages.filter(
         F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0)
     )

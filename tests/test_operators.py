@@ -282,6 +282,24 @@ def test_simhash_banding_exact_recall(spark):
     assert got == truth  # exact recall AND no false positives post-verify
 
 
+def test_query_probe_sigs_cover_hamming_ball(spark):
+    """The probe set must be exactly {s : bit_count(s^qsig) <= multiprobe}
+    — the set the DuckDB oracle models — at every multiprobe, not just 1."""
+    from ocr_sam_project_spark.operators.similarity import query_probe_sigs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first().embedding]
+    n_planes = 6
+    qsig = query_probe_sigs(q, n_planes, multiprobe=0)[0:1]
+    assert len(query_probe_sigs(q, n_planes, multiprobe=0)) == 1
+    for m in (1, 2, 3):
+        got = set(query_probe_sigs(q, n_planes, multiprobe=m))
+        want = {
+            s for s in range(1 << n_planes) if bin(s ^ qsig[0]).count("1") <= m
+        }
+        assert got == want, (m, got ^ want)
+
+
 def test_ivf_search_probes_posting_lists(spark):
     """ivf_search touches only the nprobe nearest posting lists; with the
     query's own centroid probed it must return the query itself first, and
