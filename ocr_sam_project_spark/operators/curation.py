@@ -1,0 +1,171 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond whole-document dedup: cross-document LINE dedup (the C4 rule),
+benchmark DECONTAMINATION (the GPT-3 appendix-C / FineWeb n-gram rule), and
+per-domain CAPS (crawl-frequency debiasing).  All three are pure DataFrame
+compositions — no Python in the hot path — with DuckDB oracle twins in
+queries.py.
+
+Reference parity note: the reference pipeline curates documents one at a
+time inside Lambda handlers (src/handlers/document_processor/app.py) and has
+no corpus-level pass at all — these operators are the Spark-native corpus
+analogs the north_star asks for (training-data pipeline over Common-Crawl
+-style pages).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import normalize_for_fingerprint
+
+
+# --------------------------------------------------------------------------
+def line_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style cross-document line dedup: each distinct line is kept only
+    at its FIRST occurrence in the corpus (min (id, line_no)) and removed
+    from every other document; documents are rebuilt from their surviving
+    lines.  Returns (id, text, n_kept, n_dropped) — text may be '' when a
+    document was entirely boilerplate.
+
+    Lines compare by canonical fingerprint (lowercase, ws-collapsed), so
+    formatting variants of a boilerplate line dedup together.  Blank lines
+    never participate (kept in place in every doc).
+
+    Scale shape (100 TB): two shuffles, both unavoidable for the semantic —
+    one hash-shuffle of (line-fp, id, pos) for the global first-occurrence
+    window (the payload is one line per row, not the document), and one
+    shuffle by id to reassemble documents.  The C4 paper's MapReduce does
+    exactly these two passes.  Skew guard: a pathological line shared by
+    millions of docs lands in one fp partition, but the partition holds
+    only (id, pos, line) rows and the window computes a single min —
+    bounded memory via TungstenAggregate, no collect."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lfp", F.md5(normalize_for_fingerprint(F.col("line"))))
+    participating = F.length(F.trim(F.col("line"))) > 0
+    w = Window.partitionBy("lfp")
+    marked = lines.withColumn(
+        "_winner",
+        F.min(F.when(participating, F.struct("id", "pos"))).over(w),
+    ).withColumn(
+        "_keep",
+        (~participating)
+        | ((F.col("_winner.id") == F.col("id")) & (F.col("_winner.pos") == F.col("pos"))),
+    )
+    rebuilt = (
+        marked.filter(F.col("_keep"))
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    dropped = (
+        marked.filter(~F.col("_keep"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .join(dropped, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+def ngrams(col, n: int = 5):
+    """Column of word n-gram strings over the canonical form; empty array
+    when the text has fewer than n tokens."""
+    tk = F.split(normalize_for_fingerprint(col), " ")
+    return F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.array_join(F.slice(tk, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    df: DataFrame,
+    probe_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: DROP every corpus document sharing at
+    least one word n-gram with the probe corpus (eval benchmarks).  GPT-3
+    used 13-grams, FineWeb 10-grams; n is a knob because the oracle uses a
+    smaller n at test scale.
+
+    Scale shape (100 TB corpus, ~10^5-10^7 probe grams): the probe gram set
+    is tiny next to the corpus, so it is BROADCAST — the corpus explodes to
+    (id, gram) rows (narrow), hits resolve in a broadcast semi-join with no
+    corpus shuffle, and only the distinct contaminated-id set (small)
+    shuffles before the final anti-join."""
+    probe_text_col = probe_text_col or text_col
+    probe_grams = (
+        probe_df.select(F.explode(ngrams(F.col(probe_text_col), n)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = df.select(
+        F.col(id_col), F.explode(ngrams(F.col(text_col), n)).alias("gram")
+    )
+    contaminated = (
+        corpus_grams.join(F.broadcast(probe_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(contaminated, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap (crawl-frequency debias): keep at most `cap`
+    docs per domain, chosen DETERMINISTICALLY by md5(id) order (an unbiased
+    frozen sample — not 'first cap rows seen', which would bias toward
+    whatever the scan order correlates with).
+
+    Scale shape: most domains are under the cap, and only over-cap domains
+    need the expensive per-domain sort.  One light count aggregate finds
+    the over-cap domain list (small — broadcast); under-cap rows pass
+    through with NO window shuffle; only the over-cap slice pays the
+    row_number sort.  A mega-domain (the crawl's wikipedia.org) still sorts
+    within one partition — at 10^9-doc domains switch the rank to an
+    approximate md5-threshold filter (keep md5(id) < cap/n quantile), which
+    needs no sort at all."""
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
+    over = counts.filter(F.col("_n") > cap).select(domain_col)
+    under_rows = df.join(F.broadcast(over), domain_col, "left_anti")
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    capped = (
+        df.join(F.broadcast(over), domain_col, "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return under_rows.unionByName(capped)

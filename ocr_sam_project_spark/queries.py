@@ -1988,6 +1988,130 @@ ORACLES["d_dedup_against_store"] = _d_store_duck()
 
 
 # ===========================================================================
+# Corpus curation beyond whole-doc dedup: line dedup / decontamination /
+# domain caps (operators/curation.py)
+# ===========================================================================
+_CHUNK = 12  # tokens per derived line (the synthetic docs are single-line)
+
+
+def _t_line_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-doc line dedup.  The synthetic documents are one
+    physical line each, so both engines first re-chunk the canonical tokens
+    into 12-token lines — then every repeated chunk survives only at its
+    first (doc_id, pos) occurrence corpus-wide."""
+    from .operators.curation import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tk = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    n_lines = F.ceil(F.size(tk) / F.lit(_CHUNK)).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice(tk, i * _CHUNK + 1, _CHUNK), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return line_dedup(chunked)
+
+
+def _t_line_dedup_duck() -> str:
+    norm = _NORM_DUCK.format(x="text")
+    c = _CHUNK
+    return f"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS tk
+               FROM documents),
+    l AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(tk) / {c}.0) AS INT))) AS pos, tk
+          FROM t),
+    lines AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                     array_to_string(tk[(pos * {c} + 1):(pos * {c} + {c})], ' ') AS line
+              FROM l),
+    marked AS (
+        SELECT doc_id, pos, line,
+               length(trim(line)) > 0 AS part,
+               MIN(CASE WHEN length(trim(line)) > 0
+                        THEN {{'doc_id': doc_id, 'pos': pos}} END)
+                 OVER (PARTITION BY md5({_NORM_DUCK.format(x='line')})) AS w
+        FROM lines),
+    flagged AS (SELECT doc_id, pos, line,
+                       (NOT part) OR (w.doc_id = doc_id AND w.pos = pos) AS keep
+                FROM marked),
+    rebuilt AS (SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text,
+                       COUNT(*) AS n_kept
+                FROM flagged WHERE keep GROUP BY doc_id),
+    dropped AS (SELECT doc_id, COUNT(*) AS n_dropped
+                FROM flagged WHERE NOT keep GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(r.text, '') AS text,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(x.n_dropped, 0) AS BIGINT) AS n_dropped
+    FROM documents d
+    LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    LEFT JOIN dropped x ON x.doc_id = d.doc_id"""
+
+
+QUERY_FNS["t_line_dedup"] = _t_line_dedup_fn
+ORACLES["t_line_dedup"] = _t_line_dedup_duck()
+
+
+def _t_decontaminate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the 'benchmark' is every doc with
+    doc_id%97==0; any other doc sharing a word 5-gram with one of them is
+    dropped.  Returns the surviving corpus ids."""
+    from .operators.curation import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, probe, n=5).select("doc_id")
+
+
+def _t_decontaminate_duck(n: int = 5) -> str:
+    norm = _NORM_DUCK.format(x="text")
+    return f"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS tk
+               FROM documents),
+    g AS (SELECT doc_id, array_to_string(tk[i:i + {n - 1}], ' ') AS gram
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - {n - 2})) AS i
+                FROM t WHERE len(tk) >= {n})),
+    probe AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    hit AS (SELECT DISTINCT g.doc_id FROM g
+            WHERE g.doc_id % 97 <> 0 AND g.gram IN (SELECT gram FROM probe))
+    SELECT doc_id FROM t
+    WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hit)"""
+
+
+QUERY_FNS["t_decontaminate"] = _t_decontaminate_fn
+ORACLES["t_decontaminate"] = _t_decontaminate_duck()
+
+
+def _t_domain_cap_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: at most 20 docs per source, frozen md5(doc_id)
+    sample; under-cap domains bypass the window sort entirely."""
+    from .operators.curation import domain_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_cap(docs, cap=20).select("doc_id", "source")
+
+
+def _t_domain_cap_duck(cap: int = 20) -> str:
+    return f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents) t
+    WHERE rn <= {cap}"""
+
+
+QUERY_FNS["t_domain_cap"] = _t_domain_cap_fn
+ORACLES["t_domain_cap"] = _t_domain_cap_duck()
+
+
+# ===========================================================================
 # Driver-window ordering
 # ===========================================================================
 # The correctness driver records the FIRST 50 registered queries
@@ -2019,6 +2143,9 @@ _DRIVER_PRIORITY = [
     "s_near_dup_cosine",
     "s_cosine_clusters",
     "t_curate_corpus",
+    "t_line_dedup",
+    "t_decontaminate",
+    "t_domain_cap",
     "t_token_count",
     "t_repetition",
     "t_lang_id",

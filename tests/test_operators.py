@@ -203,6 +203,66 @@ def test_simhash_hamming(docs):
         assert pairs[(1, 3)] <= pairs[(1, 4)]
 
 
+def test_line_dedup_keeps_first_occurrence(spark):
+    """C4 rule: a repeated line survives only at its first (doc, pos)
+    occurrence corpus-wide; blank lines never participate; a doc that was
+    all boilerplate rebuilds to ''."""
+    from ocr_sam_project_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nCopyright Notice\nunique two"),
+            (2, "copyright   notice\n\nunique three"),  # ws/case variant + blank
+            (3, "Copyright Notice"),  # all boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert out[1].text == "unique one\nCopyright Notice\nunique two"
+    assert out[2].text == "\nunique three"  # blank line kept in place
+    assert out[3].text == "" and out[3].n_kept == 0 and out[3].n_dropped == 1
+    assert out[2].n_dropped == 1 and out[2].n_kept == 2
+
+
+def test_decontaminate_drops_ngram_overlap(spark):
+    from ocr_sam_project_spark.operators.curation import decontaminate
+
+    probe = spark.createDataFrame(
+        [(100, "the capital of france is paris obviously")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "we all know The Capital of France is a lovely place"),  # 5-gram hit
+            (2, "paris is lovely in the spring season every year"),  # no 5-gram overlap
+            (3, "tiny doc"),  # < n tokens: no grams, survives
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in decontaminate(corpus, probe, n=5).collect()}
+    assert kept == {2, 3}
+
+
+def test_domain_cap_deterministic_sample(spark):
+    from ocr_sam_project_spark.operators.curation import domain_cap
+
+    rows = [(i, "big.com" if i < 30 else "small.org") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_cap(docs, cap=10, domain_col="source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["big.com"]) == 10  # capped
+    assert by_src["small.org"] == set(range(30, 40))  # under cap: untouched
+    # frozen sample: same input -> same kept set
+    again = {
+        r.doc_id
+        for r in domain_cap(docs, cap=10, domain_col="source").collect()
+        if r.source == "big.com"
+    }
+    assert again == by_src["big.com"]
+
+
 def test_dedup_against_store_drops_recrawled_dups(spark, tmp_path):
     """Cross-run incremental dedup: duplicates of COMPLETED runs are
     dropped on the next crawl, in-batch dups keep-one, empties pass, and
