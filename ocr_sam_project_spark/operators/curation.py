@@ -152,10 +152,12 @@ def domain_cap(
     need the expensive per-domain sort.  One light count aggregate finds
     the over-cap domain list (small — broadcast); under-cap rows pass
     through with NO window shuffle; only the over-cap slice pays the
-    row_number sort.  A mega-domain (the crawl's wikipedia.org) still sorts
-    within one partition — at 10^9-doc domains switch the rank to an
-    approximate md5-threshold filter (keep md5(id) < cap/n quantile), which
-    needs no sort at all."""
+    row_number sort — and Spark 4 plans a PARTIAL WindowGroupLimit before
+    the exchange (plan-tested), so a mega-domain (the crawl's
+    wikipedia.org) ships at most cap rows per map task into the final
+    per-domain rank, never its whole slice.  At 10^9-doc domains an
+    approximate md5-threshold filter (keep md5(id) < cap/n quantile) drops
+    even that."""
     counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
     over = counts.filter(F.col("_n") > cap).select(domain_col)
     under_rows = df.join(F.broadcast(over), domain_col, "left_anti")

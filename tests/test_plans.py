@@ -186,6 +186,38 @@ def test_ivf_search_stored_path_single_scan(spark, tmp_path):
         ivf_search(stored, q, assigned_col="centroid_id")
 
 
+def test_decontaminate_broadcasts_probe_grams(spark):
+    """The probe gram set (benchmarks: ~10^5-10^7 grams) must broadcast —
+    a sort-merge join here would shuffle the exploded 100 TB corpus gram
+    stream by gram string, which IS the job's cost at scale."""
+    from ocr_sam_project_spark.operators.curation import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    probe = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    plan = _plan(decontaminate(corpus, probe, n=5))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_domain_cap_under_cap_rows_skip_the_sort(spark):
+    """Only over-cap domains pay the per-domain row_number sort; the
+    under-cap pass-through side must be a broadcast anti-join with no
+    Window above it (at the crawl's Zipfian domain distribution, almost
+    all domains are under cap)."""
+    from ocr_sam_project_spark.operators.curation import domain_cap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(domain_cap(docs, cap=20))
+    # one Window operator total (the over-cap slice), both domain-list
+    # joins broadcast; Spark even inserts a partial WindowGroupLimit top-k
+    # before the exchange, so a mega-domain ships at most cap rows per map
+    # task rather than its whole slice
+    assert plan.count("Window [") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_partition_transform_lookup_prunes(spark, pages_parquet, tmp_path):
     """Iceberg-style layout on plain parquet: writing partitioned by
     (days(warc_ts), bucket(url)) makes a url point-lookup a PARTITION
