@@ -109,6 +109,7 @@ def run_extraction_job(
     only_parts: Optional[list[int]] = None,
     split_parallelism: Optional[int] = None,
     dedup: Optional[str] = None,
+    fp_store_path: Optional[str] = None,
 ) -> dict:
     """Run (or resume) the extraction pipeline.
 
@@ -126,6 +127,13 @@ def run_extraction_job(
     computed once (eager localCheckpoint, so the LSH DAG doesn't re-run
     inside the extraction scan), anti-joined out of the input, and the
     per-partition dropped counts land in lineage as `dups_dropped`.
+
+    `fp_store_path` enables CROSS-RUN dedup (the re-crawl scenario): pages
+    whose canonical fingerprint is already in the persisted store — i.e.
+    processed by a COMPLETED earlier run — are dropped before extraction,
+    and the survivors' fingerprints are appended to the store when this
+    run's partitions complete.  The store side is pruned to its fp column
+    for the probe; at 100 TB keep it bucketed by fp (sources.bucketing).
     Returns a small summary dict.
     """
     run_ts = run_ts or datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -188,6 +196,41 @@ def run_extraction_job(
         todo = todo.join(losers, "url", "left_anti")
         tm = _mark("dedup", tm)
 
+    store_dups_by_part: dict[int, int] = {}
+    store_dups_dropped = 0
+    if fp_store_path is not None:
+        from ..operators.dedup import corpus_fingerprints
+
+        try:
+            store = spark.read.parquet(fp_store_path).select("fp")
+        except Exception:
+            store = None  # first crawl: no store yet
+        if store is not None:
+            # cross-run dedup: a page whose fp is already in the store was
+            # processed by a COMPLETED earlier run — drop it before the
+            # Arrow stage.  Same full-corpus/resume discipline as the
+            # in-run loser set above; empty texts bypass (own provenance).
+            fps = corpus_fingerprints(
+                pages.filter(F.length(F.trim(F.col("text"))) > 0), "text", "url"
+            )
+            store_losers = (
+                fps.join(store, "fp", "left_semi").select("url").localCheckpoint()
+            )
+            sl_here = with_part_id(store_losers, num_parts)
+            if done:
+                sl_here = sl_here.filter(~F.col("part_id").isin(list(done)))
+            if only_parts is not None:
+                sl_here = sl_here.filter(F.col("part_id").isin(only_parts))
+            store_dups_by_part = {
+                r.part_id: r.n
+                for r in sl_here.groupBy("part_id")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            store_dups_dropped = sum(store_dups_by_part.values())
+            todo = todo.join(store_losers, "url", "left_anti")
+            tm = _mark("store-dedup", tm)
+
     # part_id is a pure function of url, so it is recomputed after the Arrow
     # stage instead of being dragged through it (narrower Arrow batches).
     extracted = extract_stage(todo, pages_per_doc).withColumn(
@@ -214,7 +257,9 @@ def run_extraction_job(
     # counters, not per-row RMW (A3/K5, crm_integrator/app.py:785-807).
     # This run's partitions are exactly: written parts minus already-done
     # parts, intersected with only_parts when restricted.
-    written = spark.read.parquet(extractions_path)
+    # explicit schema: a run whose every page was deduped away writes an
+    # EMPTY partitioned dir, where schema inference would throw
+    written = spark.read.schema(extracted.schema).parquet(extractions_path)
     this_run = written
     if done:
         this_run = this_run.filter(~F.col("part_id").isin(list(done)))
@@ -239,19 +284,24 @@ def run_extraction_job(
     # this run's parts, so its keys minus the written parts are exactly the
     # dedup-emptied partitions.
     seen_parts = {r.part_id for r in stats_rows}
-    dedup_only_parts = sorted(p for p in dups_by_part if p not in seen_parts)
+    drops_by_part = {
+        p: dups_by_part.get(p, 0) + store_dups_by_part.get(p, 0)
+        for p in set(dups_by_part) | set(store_dups_by_part)
+    }
+    dedup_only_parts = sorted(p for p in drops_by_part if p not in seen_parts)
     if not stats_rows and not dedup_only_parts:
         return {"run_id": run_id, "docs_in": 0, "segments_out": 0, "errors": 0,
                 "dups_dropped": dups_dropped,
+                "store_dups_dropped": store_dups_dropped,
                 "skipped_parts": sorted(done), "elapsed_sec": 0.0}
     stats = spark.createDataFrame(
         [
             (r.part_id, "completed", r.docs_in, r.segments_out, r.errors,
-             dups_by_part.get(r.part_id, 0), run_id, run_ts)
+             drops_by_part.get(r.part_id, 0), run_id, run_ts)
             for r in stats_rows
         ]
         + [
-            (p, "completed", 0, 0, 0, dups_by_part[p], run_id, run_ts)
+            (p, "completed", 0, 0, 0, drops_by_part[p], run_id, run_ts)
             for p in dedup_only_parts
         ],
         schema=LINEAGE_SCHEMA,
@@ -266,13 +316,30 @@ def run_extraction_job(
             (run_id, "segments_out", float(seg_out), run_ts),
             (run_id, "errors", float(err_out), run_ts),
             (run_id, "dups_dropped", float(dups_dropped), run_ts),
+            (run_id, "store_dups_dropped", float(store_dups_dropped), run_ts),
             (run_id, "elapsed_sec", float(elapsed), run_ts),
             (run_id, "docs_per_sec", float(docs_in) / elapsed if elapsed > 0 else 0.0, run_ts),
         ],
         schema=METRICS_SCHEMA,
     )
     metrics.write.mode("append").parquet(metrics_path)
-    _mark("metrics+lineage-write", tm)
+    tm = _mark("metrics+lineage-write", tm)
+
+    if fp_store_path is not None:
+        from ..operators.dedup import corpus_fingerprints
+
+        # append the fingerprints of everything THIS run actually processed
+        # (written urls = post-dedup survivors; in-run losers share their
+        # winner's fp, store losers are already present — neither re-enters)
+        # so the next crawl's store probe sees this run as completed.
+        corpus_fingerprints(
+            pages.filter(F.length(F.trim(F.col("text"))) > 0).join(
+                this_run.select("url").distinct(), "url", "left_semi"
+            ),
+            "text",
+            "url",
+        ).write.mode("append").parquet(fp_store_path)
+        _mark("fp-store-append", tm)
 
     return {
         "run_id": run_id,
@@ -280,6 +347,7 @@ def run_extraction_job(
         "segments_out": seg_out,
         "errors": err_out,
         "dups_dropped": dups_dropped,
+        "store_dups_dropped": store_dups_dropped,
         "skipped_parts": sorted(done),
         "elapsed_sec": elapsed,
     }

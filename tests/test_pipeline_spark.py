@@ -223,6 +223,62 @@ def test_job_dedup_pre_extract_stage(spark, pages_parquet, tmp_path):
     assert s2["docs_in"] == 0
 
 
+def test_job_cross_run_fp_store_dedup(spark, pages_parquet, tmp_path):
+    """fp_store_path: run 1 processes a crawl and persists its fingerprints;
+    run 2 (a later re-crawl into a FRESH out_dir) drops every page whose
+    text was already processed by run 1 — even under different urls — and
+    appends only its own new fingerprints."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(pages_parquet)
+    rows = base.to_pylist()
+    nonempty = [r for r in rows if (r["text"] or "").strip()]
+    store = str(tmp_path / "fp_store")
+
+    in1 = tmp_path / "crawl1"
+    in1.mkdir()
+    pq.write_table(base, str(in1 / "pages.parquet"))
+    out1 = str(tmp_path / "out1")
+    s1 = run_extraction_job(
+        spark, str(in1), out1, run_id="c1", num_parts=8, fp_store_path=store
+    )
+    assert s1["store_dups_dropped"] == 0 and s1["docs_in"] == 400
+
+    # crawl 2: 10 re-crawled copies (same text, new url) + 5 genuinely new
+    recrawl = [dict(r) for r in nonempty[:10]]
+    for i, r in enumerate(recrawl):
+        r["url"] = f"zrecrawl://copy-{i}"
+    fresh = [dict(nonempty[0]) for _ in range(5)]
+    for i, r in enumerate(fresh):
+        r["url"] = f"znew://page-{i}"
+        r["text"] = f"pagina totalmente nueva numero {i} con contenido propio"
+    in2 = tmp_path / "crawl2"
+    in2.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(recrawl + fresh, schema=base.schema),
+        str(in2 / "pages.parquet"),
+    )
+    out2 = str(tmp_path / "out2")
+    s2 = run_extraction_job(
+        spark, str(in2), out2, run_id="c2", num_parts=8, fp_store_path=store
+    )
+    assert s2["store_dups_dropped"] == 10
+    assert s2["docs_in"] == 5
+    written = spark.read.parquet(f"{out2}/extractions")
+    assert written.filter(F.col("url").startswith("zrecrawl://")).count() == 0
+    # lineage audits the store drops in dups_dropped
+    lin = spark.read.parquet(f"{out2}/lineage")
+    assert lin.agg(F.sum("dups_dropped")).first()[0] == 10
+
+    # replaying crawl 2 against the grown store drops everything
+    out3 = str(tmp_path / "out3")
+    s3 = run_extraction_job(
+        spark, str(in2), out3, run_id="c3", num_parts=8, fp_store_path=store
+    )
+    assert s3["docs_in"] == 0 and s3["store_dups_dropped"] == 15
+
+
 def test_job_dedup_across_resume_boundary(spark, pages_parquet, tmp_path):
     """A duplicate pair whose winner lands in a COMPLETED part must still be
     dropped when the loser's part runs in a later resume: losers are
