@@ -409,3 +409,46 @@ def near_dup_cosine(
         .filter(F.col("sim") >= tau)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "sim")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    tau: float = 0.9,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    IVF-cluster the embeddings, compare pairs ONLY within a cluster, resolve
+    the cos>=tau pair graph into connected components, keep the min-id
+    member of each — the embedding-space analog of text near-dup keep-one.
+
+    Scale shape (10^9+ vectors): the O(n^2) pair space collapses to
+    sum over clusters of (n_c^2) — with k chosen ~sqrt(n) the comparison
+    volume is ~n^1.5 and each cluster's block self-join is an equi-join on
+    centroid_id (one shuffle); component resolution runs on the (small)
+    pair graph only.  Cross-cluster near-dups are missed by construction —
+    the SemDeDup trade; raise n_centroids for cheaper blocks, lower for
+    higher recall."""
+    from .dedup import resolve_clusters
+
+    assigned = ivf_assign(df, n_centroids, id_col, vec_col, centroids=centroids)
+    s = assigned.select(
+        F.col("centroid_id").alias("c"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("sim", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .filter(F.col("sim") >= tau)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    losers = (
+        resolve_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -2111,6 +2111,54 @@ QUERY_FNS["t_domain_cap"] = _t_domain_cap_fn
 ORACLES["t_domain_cap"] = _t_domain_cap_duck()
 
 
+def _s_semantic_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: IVF-cluster embeddings, in-cluster cos>=0.9 pair graph,
+    connected components, keep min-id per component; returns survivors."""
+    from .operators.similarity import semantic_dedup
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(df, tau=0.9, n_centroids=8).select("vec_id")
+
+
+def _s_semantic_dedup_duck(tau: float = 0.9, n_centroids: int = 8) -> str:
+    cos_c = (
+        "ROUND(list_dot_product(ea, ca) / (sqrt(list_dot_product(ea, ea))"
+        " * sqrt(list_dot_product(ca, ca))), 6)"
+    )
+    cos_p = (
+        "ROUND(list_dot_product(a.ea, b.ea) / (sqrt(list_dot_product(a.ea, a.ea))"
+        " * sqrt(list_dot_product(b.ea, b.ea))), 6)"
+    )
+    return f"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings),
+    cent AS (SELECT vec_id AS cid, ea AS ca FROM e
+             ORDER BY {_H_DUCK.format(x="CAST(vec_id AS VARCHAR)")} LIMIT {n_centroids}),
+    d AS (SELECT e.vec_id, c.cid, {cos_c} AS sim FROM e CROSS JOIN cent c),
+    best AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk
+               FROM d) t WHERE rk = 1),
+    s AS (SELECT b.cid, e.vec_id, e.ea FROM e JOIN best b ON b.vec_id = e.vec_id),
+    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM s a JOIN s b ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE {cos_p} >= {tau}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk AS (
+        SELECT a AS id, a AS reach FROM edges
+        UNION
+        SELECT w.id, e2.b FROM walk w JOIN edges e2 ON e2.a = w.reach
+    ),
+    comp AS (SELECT id, MIN(reach) AS canon FROM walk GROUP BY id),
+    losers AS (SELECT id FROM comp WHERE id <> canon)
+    SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT id FROM losers)"""
+
+
+QUERY_FNS["s_semantic_dedup"] = _s_semantic_dedup_fn
+ORACLES["s_semantic_dedup"] = _s_semantic_dedup_duck()
+
+
 # ===========================================================================
 # Driver-window ordering
 # ===========================================================================
@@ -2142,6 +2190,7 @@ _DRIVER_PRIORITY = [
     "s_topk_cosine",
     "s_near_dup_cosine",
     "s_cosine_clusters",
+    "s_semantic_dedup",
     "t_curate_corpus",
     "t_line_dedup",
     "t_decontaminate",

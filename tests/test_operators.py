@@ -342,6 +342,21 @@ def test_simhash_banding_exact_recall(spark):
     assert got == truth  # exact recall AND no false positives post-verify
 
 
+def test_semantic_dedup_keeps_one_per_embedding_cluster(spark):
+    """Near-identical vectors in the same IVF cluster collapse to the
+    min-id member; distinct directions all survive."""
+    from ocr_sam_project_spark.operators.similarity import semantic_dedup
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0, 0.0]
+    rows = [(1, base), (2, near), (3, other), (4, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r.vec_id for r in semantic_dedup(df, tau=0.95, n_centroids=2).collect()}
+    assert 1 in kept and 2 not in kept  # 1≈2 -> keep min id
+    assert {3, 4} <= kept
+
+
 def test_query_probe_sigs_cover_hamming_ball(spark):
     """The probe set must be exactly {s : bit_count(s^qsig) <= multiprobe}
     — the set the DuckDB oracle models — at every multiprobe, not just 1."""
