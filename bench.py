@@ -57,7 +57,11 @@ BENCH_QUERIES = [
     "t_lang_id",
     "t_repetition",
     "t_curate_corpus",
+    "t_line_dedup",
+    "t_decontaminate",
+    "t_domain_cap",
     "d_exact_dedup",
+    "d_dedup_against_store",
     "d_minhash_sig",
     "d_minhash_lsh_near_dups",
     "d_simhash",
@@ -67,6 +71,7 @@ BENCH_QUERIES = [
     "s_topk_cosine_lsh",
     "s_ivf_assign",
     "s_ivf_search",
+    "s_semantic_dedup",
     "x8_enrich_inject",
     "pipeline_extract",
 ]

@@ -398,14 +398,22 @@ def near_dup_cosine(
 
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     planes = deterministic_planes(first.d, n_planes)
+    # norms precomputed ONCE per row, not per pair: cosine(a,b) inline would
+    # re-run three O(dim) HOF aggregates per candidate pair; carrying the
+    # scalar norm leaves one dot per pair (identical arithmetic — the norm
+    # value is the same computation, so 6-dp rounding parity is preserved)
     s = spread_scan(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
         rhp_signature(F.col(vec_col), planes).alias("sig"),
     )
     a, b = s.alias("a"), s.alias("b")
     return (
         a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("sim", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .withColumn(
+            "sim",
+            F.round(dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6),
+        )
         .filter(F.col("sim") >= tau)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "sim")
     )
@@ -434,15 +442,21 @@ def semantic_dedup(
     from .dedup import resolve_clusters
 
     assigned = ivf_assign(df, n_centroids, id_col, vec_col, centroids=centroids)
+    # norm precomputed once per row (see near_dup_cosine): one dot per pair
+    # instead of three HOF aggregates, identical arithmetic at 6 dp
     s = assigned.select(
         F.col("centroid_id").alias("c"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
     )
     a, b = s.alias("a"), s.alias("b")
     pairs = (
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("sim", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .withColumn(
+            "sim",
+            F.round(dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6),
+        )
         .filter(F.col("sim") >= tau)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
