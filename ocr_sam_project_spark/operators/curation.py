@@ -91,7 +91,15 @@ def line_dedup(
 # --------------------------------------------------------------------------
 def ngrams(col, n: int = 5):
     """Column of word n-gram strings over the canonical form; empty array
-    when the text has fewer than n tokens."""
+    when the text has fewer than n tokens.
+
+    The inline `tk` split inside the transform lambda is DELIBERATE:
+    whole-stage codegen's subexpression elimination evaluates it once per
+    row here, and an A/B against the materialize-tk-first rewrite (the fix
+    that won 39s->0.6s for F.aggregate folds elsewhere in this repo)
+    measured the materialized form 4x SLOWER for this explode(transform)
+    shape (4.6s -> 17-19s at sf0.1) — the extra projection breaks Generate
+    pushdown.  Measured, not assumed; see BENCH.md round 4."""
     tk = F.split(normalize_for_fingerprint(col), " ")
     return F.when(
         F.size(tk) >= n,
