@@ -179,3 +179,45 @@ def domain_cap(
         .drop("_rn")
     )
     return under_rows.unionByName(capped)
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — training corpora redact contact/identity strings before
+# the tokenizer ever sees them.  Patterns are dialect-safe (identical
+# semantics in Java regex and DuckDB's RE2) so the DuckDB twin is exact;
+# the cedula pattern is the reference's own ID shape
+# (src/shared/patterns... see extraction/patterns.py:27).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d{3} \d{3}-\d{4}"
+PII_CEDULA_RE = r"\d{1,2}-\d{3,4}-\d{3,4}"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails, phone numbers, and cedula-style national IDs,
+    returning (id, text, n_emails, n_phones, n_ids).  Counts are taken
+    BEFORE redaction; replacement order (email -> phone -> id) is fixed so
+    the twin engines transform identically.
+
+    Scale shape: pure regexp_count/regexp_replace codegen — narrow,
+    shuffle-free, pipeline-able straight into the curation funnel."""
+    t = F.col(text_col)
+    out = df.select(
+        F.col(id_col),
+        t.alias("_t0"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+    scrubbed1 = F.regexp_replace(F.col("_t0"), PII_EMAIL_RE, "<EMAIL>")
+    scrubbed2 = F.regexp_replace(scrubbed1, PII_PHONE_RE, "<PHONE>")
+    # ids counted AFTER phone redaction: a phone's trailing digits would
+    # otherwise double-count as an id fragment — same order in the oracle
+    out = out.withColumn("_t2", scrubbed2).select(
+        id_col,
+        F.regexp_replace(F.col("_t2"), PII_CEDULA_RE, "<ID>").alias("text"),
+        "n_emails",
+        "n_phones",
+        F.regexp_count(F.col("_t2"), F.lit(PII_CEDULA_RE)).cast("long").alias("n_ids"),
+    )
+    return out

@@ -2111,6 +2111,61 @@ QUERY_FNS["t_domain_cap"] = _t_domain_cap_fn
 ORACLES["t_domain_cap"] = _t_domain_cap_duck()
 
 
+def _t_pii_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: the synthetic docs carry no contact strings, so both
+    engines graft a deterministic email + phone + cedula suffix per doc_id,
+    then redact and count."""
+    from .operators.curation import pii_scrub
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contacto: user"), d.cast("string"),
+            F.lit("@mail.example.com tel +507 "),
+            F.lpad(((d * 37) % 900 + 100).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((d * 91) % 10000).cast("string"), 4, "0"),
+            F.lit(" id 8-"),
+            F.lpad(((d * 53) % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((d * 29) % 1000).cast("string"), 3, "0"),
+        ).alias("text"),
+    )
+    return pii_scrub(with_pii)
+
+
+def _t_pii_duck() -> str:
+    from .operators.curation import PII_CEDULA_RE, PII_EMAIL_RE, PII_PHONE_RE
+
+    return f"""
+    WITH p AS (SELECT doc_id,
+        text || ' contacto: user' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com tel +507 '
+             || lpad(CAST((doc_id * 37) % 900 + 100 AS VARCHAR), 3, '0') || '-'
+             || lpad(CAST((doc_id * 91) % 10000 AS VARCHAR), 4, '0')
+             || ' id 8-' || lpad(CAST((doc_id * 53) % 1000 AS VARCHAR), 3, '0')
+             || '-' || lpad(CAST((doc_id * 29) % 1000 AS VARCHAR), 3, '0') AS text
+        FROM documents),
+    s1 AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+              regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{PII_PHONE_RE}', '<PHONE>', 'g') AS t2
+           FROM p)
+    SELECT doc_id,
+           regexp_replace(t2, '{PII_CEDULA_RE}', '<ID>', 'g') AS text,
+           n_emails, n_phones,
+           CAST(len(regexp_extract_all(t2, '{PII_CEDULA_RE}')) AS BIGINT) AS n_ids
+    FROM s1"""
+
+
+QUERY_FNS["t_pii_scrub"] = _t_pii_fn
+ORACLES["t_pii_scrub"] = _t_pii_duck()
+
+
 def _s_semantic_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: IVF-cluster embeddings, in-cluster cos>=0.9 pair graph,
     connected components, keep min-id per component; returns survivors."""
@@ -2195,6 +2250,7 @@ _DRIVER_PRIORITY = [
     "t_line_dedup",
     "t_decontaminate",
     "t_domain_cap",
+    "t_pii_scrub",
     "t_token_count",
     "t_repetition",
     "t_lang_id",

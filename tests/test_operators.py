@@ -342,6 +342,26 @@ def test_simhash_banding_exact_recall(spark):
     assert got == truth  # exact recall AND no false positives post-verify
 
 
+def test_pii_scrub_redacts_and_counts(spark):
+    from ocr_sam_project_spark.operators.curation import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "escriba a ana.perez@correo.example.org o juan@x.co hoy"),
+            (2, "llamar al +507 123-4567 cedula 8-123-456 del cliente"),
+            (3, "texto limpio sin datos personales"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[1].n_emails == 2 and "<EMAIL>" in out[1].text
+    assert "ana.perez@" not in out[1].text and "juan@x.co" not in out[1].text
+    assert out[2].n_phones == 1 and out[2].n_ids == 1
+    assert out[2].text == "llamar al <PHONE> cedula <ID> del cliente"
+    assert out[3].text == "texto limpio sin datos personales"
+    assert out[3].n_emails == out[3].n_phones == out[3].n_ids == 0
+
+
 def test_semantic_dedup_keeps_one_per_embedding_cluster(spark):
     """Near-identical vectors in the same IVF cluster collapse to the
     min-id member; distinct directions all survive."""
