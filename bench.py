@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "t_line_dedup",
     "t_decontaminate",
     "t_domain_cap",
+    "t_pii_scrub",
     "d_exact_dedup",
     "d_dedup_against_store",
     "d_minhash_sig",
