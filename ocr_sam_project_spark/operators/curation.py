@@ -221,3 +221,44 @@ def pii_scrub(
         F.regexp_count(F.col("_t2"), F.lit(PII_CEDULA_RE)).cast("long").alias("n_ids"),
     )
     return out
+
+
+# --------------------------------------------------------------------------
+def canonical_url(col) -> "F.Column":
+    """Crawl URL canonicalization: lowercase scheme+host, strip the
+    fragment, remove tracking params (utm_*, fbclid), collapse leftover
+    separator runs, drop a trailing '?'/'&' and a trailing slash.  Path
+    case is preserved (paths are case-sensitive; hosts are not).
+
+    RE2-compatible on purpose (no lookbehind/lookahead) so the DuckDB twin
+    uses the same patterns; only the group-reference syntax differs
+    ($1 in Java regex vs \\1 in RE2)."""
+    head = F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    tail = F.substr(col, F.length(head) + F.lit(1))
+    u = F.concat(F.lower(head), tail)
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"([?&])(utm_[a-zA-Z]+|fbclid)=[^&]*", "$1")
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&{2,}", "&")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"([^/])/$", "$1")
+    return u
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group pages by canonical URL: (canonical_url, keep_id, n_variants).
+    The crawl-side dedup that runs BEFORE content fingerprinting — tracking
+    -param and fragment variants of one page never even reach the text
+    stage.  One hash-shuffle on the canonical url; at 10^12 pages this is
+    the cheapest dedup tier (no text read at all if url is a separate
+    column/index)."""
+    return (
+        df.select(F.col(id_col), canonical_url(F.col(url_col)).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_variants"),
+        )
+    )

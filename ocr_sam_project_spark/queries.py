@@ -2166,6 +2166,73 @@ QUERY_FNS["t_pii_scrub"] = _t_pii_fn
 ORACLES["t_pii_scrub"] = _t_pii_duck()
 
 
+def _d_url_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: both engines synthesize three crawl variants of
+    each logical page (uppercased scheme+host / utm-tracking params /
+    fragment) that must collapse to ONE canonical url with keep-min-id."""
+    from .operators.curation import url_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    g = F.floor(d / 3).cast("bigint")
+    host = F.concat(F.lit("example"), (g % 20).cast("string"), F.lit(".com"))
+    base = F.concat(F.lit("/Articles/"), g.cast("string"))
+    url = (
+        F.when(d % 3 == 0, F.concat(F.lit("HTTPS://WWW."), F.upper(host), base))
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("https://www."), host, base,
+                F.lit("?utm_source=feed&utm_campaign=x&fbclid=abc"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://www."), host, base, F.lit("#section-2")))
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    return url_dedup(pages)
+
+
+def _d_url_dedup_duck() -> str:
+    return r"""
+    WITH p AS (
+        SELECT doc_id,
+               CASE doc_id % 3
+                 WHEN 0 THEN 'HTTPS://WWW.' || upper(host) || base
+                 WHEN 1 THEN 'https://www.' || host || base
+                          || '?utm_source=feed&utm_campaign=x&fbclid=abc'
+                 ELSE 'https://www.' || host || base || '#section-2'
+               END AS url
+        FROM (SELECT doc_id,
+                     'example' || CAST(CAST(floor(doc_id / 3.0) AS BIGINT) % 20 AS VARCHAR)
+                               || '.com' AS host,
+                     '/Articles/' || CAST(CAST(floor(doc_id / 3.0) AS BIGINT) AS VARCHAR) AS base
+              FROM documents)),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0))
+                             || substr(url, length(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) + 1),
+                           '#.*$', '', 'g'),
+                         '([?&])(utm_[a-zA-Z]+|fbclid)=[^&]*', '\1', 'g'),
+                       '\?&+', '?', 'g'),
+                     '&{2,}', '&', 'g'),
+                   '[?&]+$', '', 'g'),
+                 '([^/])/$', '\1', 'g') AS canonical_url
+        FROM p)
+    SELECT canonical_url, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_variants
+    FROM canon GROUP BY canonical_url"""
+
+
+QUERY_FNS["d_url_dedup"] = _d_url_dedup_fn
+ORACLES["d_url_dedup"] = _d_url_dedup_duck()
+
+
 def _s_semantic_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: IVF-cluster embeddings, in-cluster cos>=0.9 pair graph,
     connected components, keep min-id per component; returns survivors."""
@@ -2235,6 +2302,7 @@ _DRIVER_PRIORITY = [
     "d_simhash_clusters",
     "d_exact_dedup",
     "d_dedup_against_store",
+    "d_url_dedup",
     "d_minhash_sig",
     "d_ngram_jaccard",
     "d_simhash",

@@ -342,6 +342,23 @@ def test_simhash_banding_exact_recall(spark):
     assert got == truth  # exact recall AND no false positives post-verify
 
 
+def test_canonical_url_rules(spark):
+    from ocr_sam_project_spark.operators.curation import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM/Path/A", "http://www.example.com/Path/A"),
+        ("https://a.com/x?utm_source=f&id=3&utm_campaign=c", "https://a.com/x?id=3"),
+        ("https://a.com/x?utm_source=f&utm_campaign=c", "https://a.com/x"),
+        ("https://a.com/x#frag", "https://a.com/x"),
+        ("https://a.com/x/", "https://a.com/x"),
+        ("https://a.com/x?fbclid=zz&b=1#f", "https://a.com/x?b=1"),
+        ("https://a.com/", "https://a.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
 def test_pii_scrub_redacts_and_counts(spark):
     from ocr_sam_project_spark.operators.curation import pii_scrub
 
