@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "t_pii_scrub",
     "d_exact_dedup",
     "d_dedup_against_store",
+    "d_url_dedup",
     "d_minhash_sig",
     "d_minhash_lsh_near_dups",
     "d_simhash",
