@@ -262,3 +262,48 @@ def url_dedup(
             F.count("*").alias("n_variants"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf (smooth idf = ln((N+1)/(df+1))) —
+    the corpus-analysis primitive behind keyword indexing and topic
+    mixture balancing.  Returns (id, term, score, rank), ties broken
+    (score DESC, term ASC) for cross-engine determinism; scores rounded
+    to 6 dp.
+
+    Scale shape: token explode -> one (id, term) shuffle for tf; the
+    document-frequency table is VOCABULARY-sized (millions of terms vs
+    10^12 docs), so it broadcasts back onto the tf rows — no second
+    corpus-wide shuffle; the final per-doc top-k window shuffles (id,
+    term, score) triples only, with Spark's partial WindowGroupLimit
+    capping each map task's output at k rows per doc."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()  # driver-side scalar; the oracle derives the same N
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_for_fingerprint(F.col(text_col)), " ")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "score", "rank")
+    )

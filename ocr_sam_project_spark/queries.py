@@ -2233,6 +2233,37 @@ QUERY_FNS["d_url_dedup"] = _d_url_dedup_fn
 ORACLES["d_url_dedup"] = _d_url_dedup_duck()
 
 
+def _t_tfidf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(docs, k=3)
+
+
+def _t_tfidf_duck(k: int = 3) -> str:
+    norm = _NORM_DUCK.format(x="text")
+    return f"""
+    WITH toks AS (SELECT doc_id AS id,
+                         unnest(regexp_split_to_array({norm}, ' ')) AS term
+                  FROM documents),
+    t2 AS (SELECT id, term FROM toks WHERE term <> ''),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM t2 GROUP BY id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (SELECT tf.id, tf.term,
+                      ROUND(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 6) AS score
+               FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    r AS (SELECT id, term, score,
+                 ROW_NUMBER() OVER (PARTITION BY id
+                                    ORDER BY score DESC, term ASC) AS rank
+          FROM scored)
+    SELECT id AS doc_id, term, score, rank FROM r WHERE rank <= {k}"""
+
+
+QUERY_FNS["t_tfidf_topk"] = _t_tfidf_fn
+ORACLES["t_tfidf_topk"] = _t_tfidf_duck()
+
+
 def _s_semantic_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: IVF-cluster embeddings, in-cluster cos>=0.9 pair graph,
     connected components, keep min-id per component; returns survivors."""
@@ -2319,6 +2350,7 @@ _DRIVER_PRIORITY = [
     "t_decontaminate",
     "t_domain_cap",
     "t_pii_scrub",
+    "t_tfidf_topk",
     "t_token_count",
     "t_repetition",
     "t_lang_id",
