@@ -307,3 +307,35 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "term", "score", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+def mixture_sample(
+    df: DataFrame,
+    weights: dict,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted mixture sampling — the training-mixture
+    primitive: keep each document with probability weights[domain]
+    (missing domains keep everything), decided by a FROZEN per-doc coin:
+    the first 8 hex chars of md5(id) compared against the weight's hex
+    threshold.  No RNG state, stable under re-runs/resume, and exactly
+    reproducible in SQL (string comparison of hex literals) — unlike
+    rand(seed), whose sequence depends on partitioning.
+
+    Scale shape: a narrow filter — no shuffle, no sampling pass; the
+    coin is a pure function of the row."""
+    w_col = None
+    for dom, w in sorted(weights.items()):
+        thr = format(min(max(int(w * (1 << 32)), 0), (1 << 32) - 1), "08x")
+        cond = F.col(domain_col) == dom
+        keep_here = (
+            F.lit(w >= 1.0)
+            | (F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < F.lit(thr))
+        )
+        w_col = (
+            F.when(cond, keep_here) if w_col is None else w_col.when(cond, keep_here)
+        )
+    keep = F.lit(True) if w_col is None else w_col.otherwise(F.lit(True))
+    return df.filter(keep)

@@ -2264,6 +2264,32 @@ QUERY_FNS["t_tfidf_topk"] = _t_tfidf_fn
 ORACLES["t_tfidf_topk"] = _t_tfidf_duck()
 
 
+def _t_mixture_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture sampling: source srcN keeps docs with
+    probability (N % 5) * 0.25 — exercising drop-all, fractional, and
+    keep-all weights — via the frozen md5-threshold coin."""
+    from .operators.curation import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {f"src{i}": (i % 5) * 0.25 for i in range(20)}
+    return mixture_sample(docs, weights).select("doc_id", "source")
+
+
+def _t_mixture_duck() -> str:
+    return """
+    WITH w AS (SELECT doc_id, source,
+                      (CAST(regexp_extract(source, '[0-9]+') AS INT) % 5) * 0.25 AS wt
+               FROM documents)
+    SELECT doc_id, source FROM w
+    WHERE wt >= 1.0
+       OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          < lpad(lower(hex(CAST(floor(wt * 4294967296) AS BIGINT))), 8, '0')"""
+
+
+QUERY_FNS["t_mixture_sample"] = _t_mixture_fn
+ORACLES["t_mixture_sample"] = _t_mixture_duck()
+
+
 def _s_semantic_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: IVF-cluster embeddings, in-cluster cos>=0.9 pair graph,
     connected components, keep min-id per component; returns survivors."""
@@ -2351,6 +2377,7 @@ _DRIVER_PRIORITY = [
     "t_domain_cap",
     "t_pii_scrub",
     "t_tfidf_topk",
+    "t_mixture_sample",
     "t_token_count",
     "t_repetition",
     "t_lang_id",

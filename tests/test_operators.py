@@ -342,6 +342,27 @@ def test_simhash_banding_exact_recall(spark):
     assert got == truth  # exact recall AND no false positives post-verify
 
 
+def test_mixture_sample_deterministic_weights(spark):
+    """Weight 0 drops everything, weight 1 keeps everything, fractional
+    weights are frozen (same kept set on every call) and roughly
+    proportional; unknown domains keep everything."""
+    from ocr_sam_project_spark.operators.curation import mixture_sample
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"a": 0.0, "b": 1.0, "c": 0.5}
+    kept = [(r.doc_id, r.source) for r in mixture_sample(df, w, "source").collect()]
+    by_src = {}
+    for i, s in kept:
+        by_src.setdefault(s, set()).add(i)
+    assert "a" not in by_src  # w=0
+    assert len(by_src["b"]) == 100  # w=1
+    assert 20 <= len(by_src["c"]) <= 80  # w=0.5, 100 candidates
+    assert len(by_src["d"]) == 100  # unlisted -> keep
+    again = {r.doc_id for r in mixture_sample(df, w, "source").collect() if r.source == "c"}
+    assert again == by_src["c"]  # frozen coin
+
+
 def test_canonical_url_rules(spark):
     from ocr_sam_project_spark.operators.curation import canonical_url
 
