@@ -2361,7 +2361,6 @@ _DRIVER_PRIORITY = [
     "d_dedup_against_store",
     "d_url_dedup",
     "d_minhash_sig",
-    "d_ngram_jaccard",
     "d_simhash",
     "s_topk_batch",
     "s_ivf_search",
@@ -2384,13 +2383,15 @@ _DRIVER_PRIORITY = [
     "t_quality",
     "t_winnow_fingerprint",
     "m_binary_features",
-    "m_media_features",
-    "m_frame_sample",
     "x8_enrich_inject",
+    "c1_classify",
+    "c2_priority",
+    "x1_extract_cedula",
+    "x3_validation_score",
+    "f1_validity_filter",
     "a1_monto_total",
     "a2_status_rollup",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "a4_success_rate",
     "a5_field_count",
     "w1_secuencia",
@@ -2398,15 +2399,12 @@ _DRIVER_PRIORITY = [
     "j1_equi_join",
     "j4_taxonomy_join",
     "j5_asof_join",
-    "w4_tumbling_window",
     "w5_sessionize",
     "a8_percentiles",
     "a9_rollup",
     "f_count_tolerance",
-    "f1_validity_filter",
     "f5_success_split",
     "f6_schema_projection",
-    "c1_classify",
 ]
 
 
