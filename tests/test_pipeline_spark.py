@@ -279,6 +279,49 @@ def test_job_cross_run_fp_store_dedup(spark, pages_parquet, tmp_path):
     assert s3["docs_in"] == 0 and s3["store_dups_dropped"] == 15
 
 
+def test_job_in_run_and_store_dedup_compose(spark, pages_parquet, tmp_path):
+    """dedup="exact" + fp_store_path in one run: in-run copies fall to the
+    loser stage, re-crawled copies of the PRIOR run fall to the store
+    stage, both audited, and the store gains only the survivors' fps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(pages_parquet)
+    nonempty = [r for r in base.to_pylist() if (r["text"] or "").strip()]
+    store = str(tmp_path / "fp_store")
+
+    in1 = tmp_path / "c1"
+    in1.mkdir()
+    pq.write_table(base, str(in1 / "p.parquet"))
+    run_extraction_job(
+        spark, str(in1), str(tmp_path / "o1"), run_id="c1", num_parts=8,
+        fp_store_path=store,
+    )
+
+    # crawl 2: 4 re-crawls of run-1 texts + 3 fresh pages, one of which has
+    # an in-run duplicate (same text, two urls)
+    recrawl = [dict(r) for r in nonempty[:4]]
+    for i, r in enumerate(recrawl):
+        r["url"] = f"zre://{i}"
+    fresh = [dict(nonempty[0]) for _ in range(4)]
+    for i, r in enumerate(fresh):
+        r["url"] = f"znew://{i}"
+        r["text"] = f"contenido fresco {i // 2} para la segunda corrida"  # 0,1 dup; 2,3 dup
+    in2 = tmp_path / "c2"
+    in2.mkdir()
+    pq.write_table(pa.Table.from_pylist(recrawl + fresh, schema=base.schema), str(in2 / "p.parquet"))
+
+    s = run_extraction_job(
+        spark, str(in2), str(tmp_path / "o2"), run_id="c2", num_parts=8,
+        dedup="exact", fp_store_path=store,
+    )
+    assert s["store_dups_dropped"] == 4  # the re-crawls
+    assert s["dups_dropped"] == 2  # znew://1 and znew://3 lose in-run
+    assert s["docs_in"] == 2  # znew://0 and znew://2 extracted
+    lin = spark.read.parquet(f"{tmp_path}/o2/lineage")
+    assert lin.agg(F.sum("dups_dropped")).first()[0] == 6
+
+
 def test_job_dedup_across_resume_boundary(spark, pages_parquet, tmp_path):
     """A duplicate pair whose winner lands in a COMPLETED part must still be
     dropped when the loser's part runs in a later resume: losers are
