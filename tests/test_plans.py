@@ -218,6 +218,39 @@ def test_domain_cap_under_cap_rows_skip_the_sort(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_dedup_against_store_prunes_store_scan(spark, pages_parquet, tmp_path):
+    """The persisted fp store is (url, fp) but the probe only needs fp —
+    column pruning must reach the store scan (at 10^12 stored docs the url
+    column is most of the table's bytes)."""
+    from ocr_sam_project_spark.operators.dedup import (
+        corpus_fingerprints,
+        dedup_against_store,
+    )
+
+    pages = spark.read.parquet(pages_parquet)
+    store_path = str(tmp_path / "store")
+    corpus_fingerprints(pages, id_col="url").write.parquet(store_path)
+    out = dedup_against_store(
+        pages, spark.read.parquet(store_path).select("fp"), id_col="url"
+    )
+    plan = _plan(out)
+    store_scan = [s for s in plan.split("FileScan parquet") if "store" in s.split("Location")[-1][:200]]
+    assert store_scan and "ReadSchema: struct<fp:string>" in store_scan[-1], plan
+
+
+def test_tfidf_topk_plan_shape(spark):
+    """tf-idf: the vocabulary-sized df table must broadcast back onto the
+    tf rows (no second corpus-wide shuffle), and the per-doc top-k window
+    must carry a partial WindowGroupLimit."""
+    from ocr_sam_project_spark.operators.curation import tfidf_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(tfidf_topk(docs, k=3))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_partition_transform_lookup_prunes(spark, pages_parquet, tmp_path):
     """Iceberg-style layout on plain parquet: writing partitioned by
     (days(warc_ts), bucket(url)) makes a url point-lookup a PARTITION
