@@ -56,29 +56,27 @@ def line_dedup(
         (~participating)
         | ((F.col("_winner.id") == F.col("id")) & (F.col("_winner.pos") == F.col("pos"))),
     )
-    rebuilt = (
-        marked.filter(F.col("_keep"))
-        .groupBy("id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
+    # ONE conditional aggregate computes the rebuild AND both counters —
+    # separate kept/dropped aggregates would execute the explode+window DAG
+    # twice (collect_list skips the nulls that non-kept lines produce)
+    rebuilt = marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("pos", "line"))
+                    )
                 ),
-                "\n",
-            ).alias("text"),
-            F.count("*").alias("n_kept"),
-        )
-    )
-    dropped = (
-        marked.filter(~F.col("_keep"))
-        .groupBy("id")
-        .agg(F.count("*").alias("n_dropped"))
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_dropped"),
     )
     return (
         df.select(F.col(id_col).alias("id"))
         .join(rebuilt, "id", "left")
-        .join(dropped, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("text", F.lit("")).alias("text"),

@@ -545,7 +545,12 @@ def with_simhash(
     )
 
 
-MAX_SIMHASH_BUCKET = 4096  # per-(band,value) cap — degenerate-bucket guard
+# Per-(band,value) cap — degenerate-bucket guard.  The in-bucket pairing
+# materializes a flattened cap^2 struct array per bucket row before the
+# explode, so the cap bounds peak row memory too: 512^2 = 262k pair structs
+# (~12 MB) worst-case.  4096 (the r4 first cut) would have allowed a 16M-
+# struct, ~400 MB single row on a boilerplate-degenerate bucket.
+MAX_SIMHASH_BUCKET = 512
 
 
 def simhash_bands(bits: int, max_hamming: int) -> list[tuple[int, int]]:

@@ -1738,7 +1738,7 @@ def _d_simhash_nd_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
-def _d_simhash_nd_duck(bits: int = 16, max_hamming: int = 2, max_bucket: int = 4096) -> str:
+def _d_simhash_nd_duck(bits: int = 16, max_hamming: int = 2, max_bucket: int = 512) -> str:
     """Exact twin of dedup.simhash_near_dups: same pigeonhole band layout
     (simhash_bands), same per-bucket cap, same hamming verify."""
     from .operators.dedup import simhash_bands
