@@ -204,12 +204,15 @@ def main() -> None:
         ("dedup_pipeline", _job(dup_path, "exact", "dedup"), QUERY_ROUNDS),
     ]
     entries += [(n, _query(n), QUERY_ROUNDS) for n in BENCH_QUERIES]
+    # rebuilds go to a SIBLING dir — writing under sig_dir would put a
+    # foreign subtree inside the parquet root the probe entry re-reads
+    rebuild_dir = tempfile.mkdtemp(prefix="bench_sig_rebuild_")
     entries.append(
         (
             "s_lsh_sig_build_once",
             lambda rep: rhp_signature_table(emb)
             .write.mode("overwrite")
-            .parquet(os.path.join(sig_dir, "rebuild")),
+            .parquet(rebuild_dir),
             QUERY_ROUNDS,
         )
     )
@@ -265,6 +268,7 @@ def main() -> None:
     qtimes["s_lsh_sig_build_once"] = round(med["s_lsh_sig_build_once"], 3)
     qtimes["s_lsh_probe_only"] = round(med["s_lsh_probe_only"], 3)
     shutil.rmtree(sig_dir, ignore_errors=True)
+    shutil.rmtree(rebuild_dir, ignore_errors=True)
 
     print(
         json.dumps(
