@@ -337,3 +337,54 @@ def mixture_sample(
         )
     keep = F.lit(True) if w_col is None else w_col.otherwise(F.lit(True))
     return df.filter(keep)
+
+
+# --------------------------------------------------------------------------
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 512,
+    num_parts: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col=None,
+) -> DataFrame:
+    """Sequence packing for pretraining (the GPT concat-then-chunk shape):
+    documents are concatenated in a frozen order and the token stream is
+    cut into seq_len blocks; a document's bin is the block its FIRST token
+    lands in.  Returns (part_id, bin_id, n_docs, n_tokens) per bin.
+
+    Packing is PARTITION-LOCAL by construction: docs are salted into
+    num_parts streams (default: id mod parts; pass part_col to use a
+    stored partition key) and each stream packs independently with one
+    narrow cumulative-sum window — no global ordering, no single-partition
+    window, so the op scales linearly with executors.  Order within a
+    stream is the frozen md5(id) sample order (re-run stable).  The
+    cross-partition block boundaries differ from a single global
+    concatenation — at 10^12 docs a global order is neither feasible nor
+    wanted (each training shard packs its own stream)."""
+    from pyspark.sql import Window
+
+    from .textstats import token_count
+
+    part = (
+        part_col
+        if part_col is not None
+        else (F.col(id_col) % F.lit(num_parts)).cast("int")
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        part.alias("part_id"),
+        token_count(F.col(text_col)).cast("long").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("part_id")
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = toks.withColumn("_cum", F.sum("n_toks").over(w)).withColumn(
+        "bin_id", F.floor((F.col("_cum") - F.col("n_toks")) / F.lit(seq_len)).cast("long")
+    )
+    return binned.groupBy("part_id", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )

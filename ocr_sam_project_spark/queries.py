@@ -2290,6 +2290,38 @@ QUERY_FNS["t_mixture_sample"] = _t_mixture_fn
 ORACLES["t_mixture_sample"] = _t_mixture_duck()
 
 
+def _t_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, seq_len=512, num_parts=8)
+
+
+def _t_pack_duck(seq_len: int = 512, num_parts: int = 8) -> str:
+    ntok = (
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        f"len({_TOKS_DUCK.format(x='text')}) END AS BIGINT)"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id AS id, CAST(doc_id % {num_parts} AS INT) AS part_id,
+                      {ntok} AS n_toks
+               FROM documents),
+    c AS (SELECT id, part_id, n_toks,
+                 SUM(n_toks) OVER (PARTITION BY part_id
+                                   ORDER BY md5(CAST(id AS VARCHAR)), id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT part_id,
+           CAST(floor((cum - n_toks) / {seq_len}.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM c GROUP BY part_id, bin_id"""
+
+
+QUERY_FNS["t_pack_sequences"] = _t_pack_fn
+ORACLES["t_pack_sequences"] = _t_pack_duck()
+
+
 def _s_semantic_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: IVF-cluster embeddings, in-cluster cos>=0.9 pair graph,
     connected components, keep min-id per component; returns survivors."""
@@ -2377,6 +2409,7 @@ _DRIVER_PRIORITY = [
     "t_pii_scrub",
     "t_tfidf_topk",
     "t_mixture_sample",
+    "t_pack_sequences",
     "t_token_count",
     "t_repetition",
     "t_lang_id",

@@ -342,6 +342,33 @@ def test_simhash_banding_exact_recall(spark):
     assert got == truth  # exact recall AND no false positives post-verify
 
 
+def test_pack_sequences_partition_local_bins(spark):
+    """Every bin holds consecutive docs of ONE salt stream; bin token
+    sums reconstruct the stream's total; a doc longer than seq_len still
+    lands in exactly one bin (its first-token block)."""
+    from ocr_sam_project_spark.operators.curation import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * (20 + i % 30))) for i in range(100)]
+    rows.append((100, " ".join(["tok"] * 300)))  # longer than seq_len
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, seq_len=128, num_parts=4).collect()
+    assert all(r.n_docs >= 1 for r in out)
+    total = sum(r.n_tokens for r in out)
+    assert total == sum(20 + i % 30 for i in range(100)) + 300
+    # deterministic: re-run gives the identical binning
+    again = pack_sequences(df, seq_len=128, num_parts=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # every stream starts at bin 0; a bin never holds more tokens than one
+    # block unless a single long doc owns it (first-token rule)
+    by_part = {}
+    for r in out:
+        by_part.setdefault(r.part_id, []).append(r)
+    for rs in by_part.values():
+        assert min(r.bin_id for r in rs) == 0
+        for r in rs:
+            assert r.n_tokens < 128 + 300  # bounded by block + one long doc
+
+
 def test_mixture_sample_deterministic_weights(spark):
     """Weight 0 drops everything, weight 1 keeps everything, fractional
     weights are frozen (same kept set on every call) and roughly
