@@ -2426,7 +2426,6 @@ _DRIVER_PRIORITY = [
     "a2_status_rollup",
     "q1_pricing_summary",
     "a4_success_rate",
-    "a5_field_count",
     "w1_secuencia",
     "w3_topk_per_group",
     "j1_equi_join",
