@@ -1,9 +1,15 @@
 #!/usr/bin/env python3
 """Benchmark harness: headline extraction throughput + per-query timings.
 
-Prints ONE JSON line:
-  {"metric": "extraction_pipeline_sec", "value": <sec>, "unit": "sec",
-   "queries": {<name>: sec, ...}, "sf": <sf>, "docs_per_sec": <n>, ...}
+Prints TWO JSON lines:
+  1. the FULL line — {"metric": ..., "value": ..., "queries": {...},
+     "spread": {...}, "stall_reruns": [...]} — every rep's spread for
+     honesty/diagnosis (BENCH.md reads this one);
+  2. a COMPACT line (<1000 chars), printed LAST, holding just the headline
+     fields.  The correctness driver captures only a 2000-char stdout TAIL,
+     and BENCH_r04's full line grew past 3000 chars — the head (metric/value)
+     was truncated away and the round's number recorded as parsed:null.  The
+     compact last line is the driver's parse target; the detail stays above.
 
 Env:
   SPARK_GRAFT_SF_DIR  table dir (default /root/testdata/sf0.1)
@@ -226,6 +232,25 @@ def main() -> None:
             QUERY_ROUNDS,
         )
     )
+    # semantic-dedup deployment lesson, benched under its own name (the k=8
+    # entry above is ORACLE-pinned; production picks k ~ sqrt(n) so the
+    # in-cluster block joins are balanced — the gap between the two entries
+    # is the cost of a skewed/undersized centroid count)
+    from ocr_sam_project_spark.operators.similarity import semantic_dedup
+
+    n_emb = emb.count()
+    k_sqrt = max(2, int(n_emb**0.5))
+    entries.append(
+        (
+            "s_semantic_dedup_sqrtk",
+            lambda rep: semantic_dedup(emb, tau=0.9, n_centroids=k_sqrt)
+            .select("vec_id")
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            QUERY_ROUNDS,
+        )
+    )
 
     times: dict[str, list[float]] = {name: [] for name, _, _ in entries}
 
@@ -261,12 +286,17 @@ def main() -> None:
     pipeline_sec = med["headline"]
     summary = summaries["headline"]
     s_dd = summaries["dedup"]
-    docs_per_sec = n_pages / pipeline_sec if pipeline_sec else 0.0
+    # docs_per_sec keeps the r1-r3 metric definition: non-quarantined docs the
+    # job actually extracted (summary docs_in) over the headline wall-clock;
+    # pages_per_sec is the raw-input-rows variant r4 briefly reported.
+    docs_per_sec = summary["docs_in"] / pipeline_sec if pipeline_sec else 0.0
+    pages_per_sec = n_pages / pipeline_sec if pipeline_sec else 0.0
 
     qtimes = {n: round(med[n], 3) for n in BENCH_QUERIES}
     qtimes["s_lsh_sig_build_cold"] = lsh_cold_sec
     qtimes["s_lsh_sig_build_once"] = round(med["s_lsh_sig_build_once"], 3)
     qtimes["s_lsh_probe_only"] = round(med["s_lsh_probe_only"], 3)
+    qtimes["s_semantic_dedup_sqrtk"] = round(med["s_semantic_dedup_sqrtk"], 3)
     shutil.rmtree(sig_dir, ignore_errors=True)
     shutil.rmtree(rebuild_dir, ignore_errors=True)
 
@@ -279,6 +309,7 @@ def main() -> None:
                 "queries": qtimes,
                 "sf": sf,
                 "docs_per_sec": round(docs_per_sec, 1),
+                "pages_per_sec": round(pages_per_sec, 1),
                 "pages": n_pages,
                 "segments_out": summary["segments_out"],
                 "errors": summary["errors"],
@@ -291,7 +322,29 @@ def main() -> None:
                 "spread": spread,
                 "stall_reruns": stalled,
             }
-        )
+        ),
+        flush=True,
+    )
+    # COMPACT line LAST (the driver's 2000-char tail capture parses the final
+    # stdout line; the full line above overflows that window by design)
+    print(
+        json.dumps(
+            {
+                "metric": "extraction_pipeline_sec",
+                "value": round(pipeline_sec, 3),
+                "unit": "sec",
+                "docs_per_sec": round(docs_per_sec, 1),
+                "pages_per_sec": round(pages_per_sec, 1),
+                "pages": n_pages,
+                "sf": sf,
+                "cpus": CPUS,
+                "stat": "median",
+                "dedup_exact_pipeline_sec": round(med["dedup_pipeline"], 3),
+                "s_semantic_dedup_sec": round(med["s_semantic_dedup"], 3),
+                "s_semantic_dedup_sqrtk_sec": round(med["s_semantic_dedup_sqrtk"], 3),
+            }
+        ),
+        flush=True,
     )
     spark.stop()
 

@@ -579,7 +579,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     bits: int = 16,
     max_hamming: int = 2,
-    max_bucket: int = MAX_SIMHASH_BUCKET,
+    max_bucket: int | None = MAX_SIMHASH_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= max_hamming.
 
@@ -595,6 +595,21 @@ def simhash_near_dups(
     MAX_BUCKET.  One shuffle total: explode to (band,val), groupBy-collect,
     pair within bucket."""
     layout = simhash_bands(bits, max_hamming)
+    if max_hamming >= bits:
+        # degenerate all-pairs band: EVERY pair qualifies, so the whole
+        # corpus lands in the single constant bucket — applying the bucket
+        # cap there would silently return ZERO pairs the moment the corpus
+        # outgrows max_bucket.  The caller explicitly asked for an all-pairs
+        # comparison (radius covers the hash), so the cap is bypassed; warn
+        # because this shape is quadratic by definition.
+        import warnings
+
+        warnings.warn(
+            f"simhash_near_dups: max_hamming={max_hamming} >= bits={bits} — "
+            "all-pairs comparison, bucket cap bypassed (O(n^2))",
+            stacklevel=2,
+        )
+        max_bucket = None
     s = with_simhash(spread_scan(df), text_col, bits).select(
         F.col(id_col).alias("id"), "sh"
     )
@@ -615,10 +630,11 @@ def simhash_near_dups(
             )
         ).alias("bb"),
     ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+    cap_ok = F.lit(True) if max_bucket is None else (F.col("n") <= max_bucket)
     buckets = (
         banded.groupBy("band", "val")
         .agg(F.count("*").alias("n"), F.collect_list(F.struct("id", "sh")).alias("rows"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .filter((F.col("n") >= 2) & cap_ok)
     )
     pairs = (
         buckets.select(

@@ -201,18 +201,28 @@ def run_extraction_job(
     if fp_store_path is not None:
         from ..operators.dedup import corpus_fingerprints
 
-        try:
-            store = spark.read.parquet(fp_store_path).select("fp")
-        except Exception:
-            store = None  # first crawl: no store yet
+        # explicit existence probe (Hadoop FS — scheme-agnostic): ONLY a
+        # missing path means "first crawl".  A store that exists but fails to
+        # read (corrupt footer, permission error) must PROPAGATE — silently
+        # treating it as first-crawl would skip cross-run dedup and append
+        # duplicate fingerprints to a store that is still there.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(fp_store_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        store = spark.read.parquet(fp_store_path).select("fp") if fs.exists(jpath) else None
         if store is not None:
             # cross-run dedup: a page whose fp is already in the store was
             # processed by a COMPLETED earlier run — drop it before the
             # Arrow stage.  Same full-corpus/resume discipline as the
             # in-run loser set above; empty texts bypass (own provenance).
-            fps = corpus_fingerprints(
-                pages.filter(F.length(F.trim(F.col("text"))) > 0), "text", "url"
-            )
+            # The probe universe excludes this run's IN-RUN losers: a page
+            # that is both an in-batch duplicate and a store hit must be
+            # audited exactly once (it was already counted in dups_by_part;
+            # counting it here too would overstate the lineage/metrics drop
+            # totals — the anti-joins themselves were always idempotent).
+            store_universe = pages.filter(F.length(F.trim(F.col("text"))) > 0)
+            if dedup is not None:
+                store_universe = store_universe.join(losers, "url", "left_anti")
+            fps = corpus_fingerprints(store_universe, "text", "url")
             store_losers = (
                 fps.join(store, "fp", "left_semi").select("url").localCheckpoint()
             )

@@ -203,6 +203,22 @@ def test_simhash_hamming(docs):
         assert pairs[(1, 3)] <= pairs[(1, 4)]
 
 
+def test_simhash_all_pairs_band_bypasses_bucket_cap(docs):
+    """max_hamming >= bits means every pair qualifies (one constant band);
+    the bucket cap must be BYPASSED there — otherwise a corpus larger than
+    max_bucket lands in the single bucket, gets cap-dropped, and the call
+    silently returns zero pairs although all of them qualify."""
+    import warnings
+
+    from ocr_sam_project_spark.operators.dedup import simhash_near_dups
+
+    n = docs.count()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the deliberate O(n^2) warning
+        got = simhash_near_dups(docs, max_hamming=16, max_bucket=2).count()
+    assert got == n * (n - 1) // 2
+
+
 def test_line_dedup_keeps_first_occurrence(spark):
     """C4 rule: a repeated line survives only at its first (doc, pos)
     occurrence corpus-wide; blank lines never participate; a doc that was

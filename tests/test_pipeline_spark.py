@@ -322,6 +322,61 @@ def test_job_in_run_and_store_dedup_compose(spark, pages_parquet, tmp_path):
     assert lin.agg(F.sum("dups_dropped")).first()[0] == 6
 
 
+def test_job_store_and_inrun_loser_counted_once(spark, pages_parquet, tmp_path):
+    """A page that is BOTH an in-run duplicate loser AND a store hit must be
+    audited exactly once: the store probe runs over the post-in-run-dedup
+    universe, so dups_dropped + store_dups_dropped == pages actually dropped
+    (the r4 form counted such a page in both tallies)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(pages_parquet)
+    nonempty = [r for r in base.to_pylist() if (r["text"] or "").strip()]
+    store = str(tmp_path / "fp_store")
+
+    in1 = tmp_path / "c1"
+    in1.mkdir()
+    pq.write_table(base, str(in1 / "p.parquet"))
+    run_extraction_job(
+        spark, str(in1), str(tmp_path / "o1"), run_id="c1", num_parts=8,
+        fp_store_path=store,
+    )
+
+    # crawl 2 = TWO copies of one run-1 text under new urls: zcopy-a wins
+    # in-run (min url), zcopy-b is the in-run loser; zcopy-a is then a store
+    # hit.  2 pages in -> exactly 2 drops total, never 3.
+    copies = [dict(nonempty[0]), dict(nonempty[0])]
+    copies[0]["url"] = "zcopy-a://page"
+    copies[1]["url"] = "zcopy-b://page"
+    in2 = tmp_path / "c2"
+    in2.mkdir()
+    pq.write_table(pa.Table.from_pylist(copies, schema=base.schema), str(in2 / "p.parquet"))
+
+    s = run_extraction_job(
+        spark, str(in2), str(tmp_path / "o2"), run_id="c2", num_parts=8,
+        dedup="exact", fp_store_path=store,
+    )
+    assert s["docs_in"] == 0
+    assert s["dups_dropped"] == 1  # zcopy-b lost in-run
+    assert s["store_dups_dropped"] == 1  # zcopy-a hit the store — once
+    lin = spark.read.parquet(f"{tmp_path}/o2/lineage")
+    assert lin.agg(F.sum("dups_dropped")).first()[0] == 2
+
+
+def test_job_corrupt_fp_store_raises(spark, pages_parquet, tmp_path):
+    """An fp store that EXISTS but cannot be read must raise, not silently
+    degrade to first-crawl behavior (which would both skip cross-run dedup
+    and append duplicate fingerprints)."""
+    store = tmp_path / "fp_store"
+    store.mkdir()
+    (store / "part-00000.parquet").write_bytes(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        run_extraction_job(
+            spark, pages_parquet, str(tmp_path / "out"), run_id="bad",
+            num_parts=8, fp_store_path=str(store),
+        )
+
+
 def test_job_dedup_across_resume_boundary(spark, pages_parquet, tmp_path):
     """A duplicate pair whose winner lands in a COMPLETED part must still be
     dropped when the loser's part runs in a later resume: losers are
