@@ -243,7 +243,7 @@ def main() -> None:
     entries.append(
         (
             "s_semantic_dedup_sqrtk",
-            lambda rep: semantic_dedup(emb, tau=0.9, n_centroids=k_sqrt)
+            lambda rep: semantic_dedup(emb, tau=0.9, n_centroids=k_sqrt, max_cluster=64)
             .select("vec_id")
             .write.format("noop")
             .mode("overwrite")

@@ -383,20 +383,77 @@ def ivf_search(
     return topk_cosine(cand, query_vec, k, id_col, vec_col)
 
 
+# Per-bucket cap for the embedding near-dup family — same cap^2-memory /
+# pair-explosion reasoning as dedup.MAX_SIMHASH_BUCKET: the in-bucket
+# self-join emits O(n_b^2) candidate rows, so an uncapped bucket of
+# identical embeddings (the COMMON case in a dedup workload — boilerplate
+# pages embed identically) is an O(n^2) job hiding inside one key.
+MAX_RHP_BUCKET = 512
+
+
+def salted_group_cap(
+    s: DataFrame, group_cols: list[str], cap: int, id_col: str = "id"
+) -> DataFrame:
+    """Append a `_salt` column that bounds every (group_cols) group at ~cap
+    rows: groups over the cap are split into ceil(n/cap) id-hash subgroups
+    (portable md5 hash — exact DuckDB twin expressible).  Downstream joins
+    add `_salt` to their equi-key, so per-group pair cost drops from
+    O(n^2) to O(ceil(n/cap) * cap^2).
+
+    The trade: pairs ACROSS subgroups are lost.  A salt (not secondary
+    hyperplanes) is deliberate — equal vectors produce equal sign bits, so
+    no plane count can split the identical-embedding degenerate; an id hash
+    is the only HARD bound.  For near-dup dedup the loss is benign: each
+    subgroup still collapses to one canonical, leaving ceil(n/cap) survivors
+    of a mega-cluster instead of 1.
+
+    One light aggregation (group sizes — #groups rows, tiny vs the corpus)
+    joined back; at bench scale AQE broadcasts it."""
+    sizes = s.groupBy(*group_cols).agg(F.count("*").alias("_gn"))
+    n_sub = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.col("_gn") / F.lit(float(cap))))
+    return (
+        s.join(sizes, group_cols)
+        .withColumn(
+            "_salt",
+            F.pmod(hash64(F.col(id_col).cast("string")), n_sub).cast("int"),
+        )
+        .drop("_gn")
+    )
+
+
 def near_dup_cosine(
     df: DataFrame,
     tau: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | None = None,
+    max_bucket: int = MAX_RHP_BUCKET,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cos >= tau): bucket by RHP
     signature, exact cosine inside buckets only (high-tau near-dups almost
-    surely share all sign bits)."""
-    # infer dim from one row (driver-side; metadata-cheap)
+    surely share all sign bits).
+
+    Scale guards (the two r4 findings, both closed here):
+
+    * **Plane count scales with the corpus.**  2^planes buckets must be >>
+      corpus/cap or average buckets are quadratic; when n_planes is None it
+      is sized as max(8, ceil(log2(8*n/max_bucket))) — 8 at bench scale,
+      16-24 at 10^8-10^9 vectors.  Pass n_rows (known at ingest/lineage)
+      to avoid the count() fallback scan, same contract as tfidf_topk's
+      n_docs.
+    * **Buckets are hard-capped at ~max_bucket** via salted_group_cap:
+      a degenerate corpus (many identical embeddings) salt-splits into
+      ceil(n_b/cap) subgroups instead of exploding O(n_b^2)."""
+    import math
+
     from .skew import spread_scan
 
+    # infer dim from one row (driver-side; metadata-cheap)
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if n_planes is None:
+        n = n_rows if n_rows is not None else df.count()
+        n_planes = max(8, math.ceil(math.log2(max(8.0 * n / max_bucket, 2.0))))
     planes = deterministic_planes(first.d, n_planes)
     # norms precomputed ONCE per row, not per pair: cosine(a,b) inline would
     # re-run three O(dim) HOF aggregates per candidate pair; carrying the
@@ -407,9 +464,15 @@ def near_dup_cosine(
         norm(F.col(vec_col)).alias("n"),
         rhp_signature(F.col(vec_col), planes).alias("sig"),
     )
+    s = salted_group_cap(s, ["sig"], max_bucket, "id")
     a, b = s.alias("a"), s.alias("b")
     return (
-        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._salt") == F.col("b._salt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .withColumn(
             "sim",
             F.round(dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6),
@@ -419,6 +482,20 @@ def near_dup_cosine(
     )
 
 
+def rhp_subsig_seq(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature via SEQUENTIAL-fold dots (F.aggregate) — the same
+    fold order as DuckDB list_dot_product (see _cos_py), so an oracle twin
+    reproduces the bits with literal plane arrays.  Costlier per row than
+    the matmul UDF (rhp_signature); used only for the SMALL secondary-split
+    plane counts where oracle parity matters — production can swap in the
+    matmul form when no cross-engine check is needed."""
+    out = F.lit(0)
+    for i, p in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in p])
+        out = out + F.when(dot(vec_col, pl) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return out
+
+
 def semantic_dedup(
     df: DataFrame,
     tau: float = 0.9,
@@ -426,6 +503,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list | None = None,
+    max_cluster: int | None = None,
+    sub_planes: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     IVF-cluster the embeddings, compare pairs ONLY within a cluster, resolve
@@ -438,7 +517,27 @@ def semantic_dedup(
     centroid_id (one shuffle); component resolution runs on the (small)
     pair graph only.  Cross-cluster near-dups are missed by construction —
     the SemDeDup trade; raise n_centroids for cheaper blocks, lower for
-    higher recall."""
+    higher recall.
+
+    **Cluster-size guard** (r4 What's-wrong #2 — a hot centroid, e.g.
+    boilerplate embeddings, makes one n_c^2 block THE job): with
+    max_cluster set, clusters over the cap are sub-split in two bounded
+    stages, and the pair join keys on (cluster, sub, salt):
+
+    1. secondary-RHP sub-split — `sub_planes` extra hyperplane sign bits
+       (sequential-fold dots, oracle-expressible) carve an oversized
+       cluster into up to 2^sub_planes locality-preserving cells: true
+       near-dups (cos>=tau) agree on each extra bit with probability
+       1 - acos(tau)/pi (~0.86 at tau=0.9), so most qualifying pairs stay
+       co-located — unlike a random split.
+    2. id-hash salt cap — any cell STILL over the cap (identical
+       embeddings defeat any plane split) is salt-split into ceil(n/cap)
+       subgroups via salted_group_cap: the hard bound.
+
+    Both stages are light count-aggregations over (cluster[, sub]) keys —
+    tiny tables joined back — and the recall loss is confined to the
+    oversized clusters (under-cap clusters key on sub=0, salt=0 and behave
+    exactly as the unguarded form)."""
     from .dedup import resolve_clusters
 
     assigned = ivf_assign(df, n_centroids, id_col, vec_col, centroids=centroids)
@@ -450,9 +549,32 @@ def semantic_dedup(
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("n"),
     )
+    if max_cluster is not None:
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).first().d
+        planes = deterministic_planes(dim, sub_planes)
+        csizes = s.groupBy("c").agg(F.count("*").alias("_cn"))
+        s = (
+            s.join(csizes, "c")
+            .withColumn(
+                "sub",
+                F.when(
+                    F.col("_cn") > max_cluster, rhp_subsig_seq(F.col("v"), planes)
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_cn")
+        )
+        s = salted_group_cap(s, ["c", "sub"], max_cluster, "id")
+    else:
+        s = s.withColumn("sub", F.lit(0)).withColumn("_salt", F.lit(0))
     a, b = s.alias("a"), s.alias("b")
     pairs = (
-        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a._salt") == F.col("b._salt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .withColumn(
             "sim",
             F.round(dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6),

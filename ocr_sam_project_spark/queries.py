@@ -2322,13 +2322,28 @@ QUERY_FNS["t_pack_sequences"] = _t_pack_fn
 ORACLES["t_pack_sequences"] = _t_pack_duck()
 
 
+_SEMDEDUP_CAP = 64  # max_cluster for the oracle-pinned query (guard EXERCISED
+                    # at sf0.01's ~62-row average clusters, and load-bearing at
+                    # the sf0.1 bench where the skewed k=8 blocks hit ~250 rows)
+_SEMDEDUP_SUB_PLANES = 2
+
+
 def _s_semantic_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: IVF-cluster embeddings, in-cluster cos>=0.9 pair graph,
-    connected components, keep min-id per component; returns survivors."""
+    connected components, keep min-id per component; returns survivors.
+    The cluster-size guard is ON (max_cluster) so the driver hash-verifies
+    the guarded production path, not just the unguarded one."""
     from .operators.similarity import semantic_dedup
 
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return semantic_dedup(df, tau=0.9, n_centroids=8).select("vec_id")
+    # tau pinned BELOW the synthetic corpus's max pairwise cosine (~0.51)
+    # so the driver hash actually rides on the pair graph + guard keys +
+    # component resolution (at tau=0.9 nothing qualifies and the check
+    # degenerates to an identity scan); production tau stays caller-chosen
+    return semantic_dedup(
+        df, tau=0.35, n_centroids=8,
+        max_cluster=_SEMDEDUP_CAP, sub_planes=_SEMDEDUP_SUB_PLANES,
+    ).select("vec_id")
 
 
 def _s_semantic_dedup_duck(tau: float = 0.9, n_centroids: int = 8) -> str:
@@ -2340,6 +2355,20 @@ def _s_semantic_dedup_duck(tau: float = 0.9, n_centroids: int = 8) -> str:
         "ROUND(list_dot_product(a.ea, b.ea) / (sqrt(list_dot_product(a.ea, a.ea))"
         " * sqrt(list_dot_product(b.ea, b.ea))), 6)"
     )
+    # the guard's secondary hyperplanes as literal DOUBLE[] arrays — same
+    # deterministic_planes(dim=64) values the Spark side folds sequentially
+    # (rhp_subsig_seq), so the sign bits agree bit-for-bit with DuckDB's
+    # sequential list_dot_product
+    from .operators.similarity import deterministic_planes
+
+    cap = _SEMDEDUP_CAP
+    planes = deterministic_planes(64, _SEMDEDUP_SUB_PLANES)
+    pl = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+    sub_bits = " + ".join(
+        f"CASE WHEN list_dot_product(s.ea, {pl[i]}) >= 0 THEN {2**i} ELSE 0 END"
+        for i in range(_SEMDEDUP_SUB_PLANES)
+    )
+    salt_h = _H_DUCK.format(x="CAST(s2.vec_id AS VARCHAR)")
     return f"""
     WITH RECURSIVE
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings),
@@ -2351,8 +2380,19 @@ def _s_semantic_dedup_duck(tau: float = 0.9, n_centroids: int = 8) -> str:
                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk
                FROM d) t WHERE rk = 1),
     s AS (SELECT b.cid, e.vec_id, e.ea FROM e JOIN best b ON b.vec_id = e.vec_id),
+    csize AS (SELECT cid, COUNT(*) AS cn FROM s GROUP BY cid),
+    s2 AS (SELECT s.cid, s.vec_id, s.ea,
+                  CASE WHEN cz.cn > {cap} THEN ({sub_bits}) ELSE 0 END AS sub
+           FROM s JOIN csize cz ON cz.cid = s.cid),
+    ssize AS (SELECT cid, sub, COUNT(*) AS sn FROM s2 GROUP BY cid, sub),
+    s3 AS (SELECT s2.cid, s2.vec_id, s2.ea, s2.sub,
+                  CASE WHEN sz.sn > {cap}
+                       THEN {salt_h} % CAST(ceil(sz.sn / {cap}.0) AS BIGINT)
+                       ELSE 0 END AS salt
+           FROM s2 JOIN ssize sz ON sz.cid = s2.cid AND sz.sub = s2.sub),
     pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-              FROM s a JOIN s b ON a.cid = b.cid AND a.vec_id < b.vec_id
+              FROM s3 a JOIN s3 b ON a.cid = b.cid AND a.sub = b.sub
+                                 AND a.salt = b.salt AND a.vec_id < b.vec_id
               WHERE {cos_p} >= {tau}),
     edges AS (SELECT id_a AS a, id_b AS b FROM pairs
               UNION SELECT id_b, id_a FROM pairs),
@@ -2367,7 +2407,7 @@ def _s_semantic_dedup_duck(tau: float = 0.9, n_centroids: int = 8) -> str:
 
 
 QUERY_FNS["s_semantic_dedup"] = _s_semantic_dedup_fn
-ORACLES["s_semantic_dedup"] = _s_semantic_dedup_duck()
+ORACLES["s_semantic_dedup"] = _s_semantic_dedup_duck(tau=0.35)
 
 
 # ===========================================================================

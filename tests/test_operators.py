@@ -458,6 +458,84 @@ def test_semantic_dedup_keeps_one_per_embedding_cluster(spark):
     assert {3, 4} <= kept
 
 
+def test_near_dup_cosine_degenerate_corpus_bounded(spark):
+    """A corpus of THOUSANDS of identical embeddings (the common dedup
+    degenerate — boilerplate pages embed identically) must complete with a
+    BOUNDED pair count: the salted bucket cap splits the one hot bucket
+    into ceil(n/cap) subgroups, so pairs ~ ceil(n/cap) * cap^2 / 2 instead
+    of n^2/2."""
+    from ocr_sam_project_spark.operators.similarity import near_dup_cosine
+
+    n, cap = 2000, 64
+    vec = [1.0, 0.5, -0.25, 0.125]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    pairs = near_dup_cosine(df, tau=0.95, max_bucket=cap, n_rows=n)
+    got = pairs.count()
+    # unbounded would be n*(n-1)/2 = 1,999,000; the cap bounds it near
+    # ceil(n/cap)*cap^2/2 = 32*2048 = 65,536 (salt groups are ~uniform)
+    assert 0 < got < 150_000
+    # every pair is a true near-dup (identical vectors -> sim == 1.0)
+    assert pairs.filter(F.col("sim") < 0.999999).count() == 0
+
+
+def test_near_dup_cosine_auto_plane_scaling(spark):
+    """n_planes=None sizes the signature from the corpus: small corpora get
+    the 8-plane floor; a 10^9-row corpus sizes to 24 planes (2^planes
+    buckets >> corpus/cap) — checked via the documented formula without
+    materializing the big corpus."""
+    import math
+
+    from ocr_sam_project_spark.operators.similarity import MAX_RHP_BUCKET
+
+    f = lambda n: max(8, math.ceil(math.log2(max(8.0 * n / MAX_RHP_BUCKET, 2.0))))
+    assert f(500) == 8
+    assert f(10**6) == 14
+    assert 16 <= f(10**8) <= 24 and 16 <= f(10**9) <= 24
+
+
+def test_semantic_dedup_cluster_guard_bounds_hot_cluster(spark):
+    """max_cluster bounds the in-cluster pair join under centroid skew:
+    a hot cluster of identical embeddings salt-splits, each subgroup still
+    collapses to one canonical (bounded survivors, not bounded-at-1), and
+    under-cap behavior is untouched (sub=0, salt=0)."""
+    from ocr_sam_project_spark.operators.similarity import semantic_dedup
+
+    n, cap = 600, 64
+    hot = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, hot) for i in range(n)] + [
+        (n + 1, [0.0, 1.0, 0.0, 0.0]),
+        (n + 2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r.vec_id for r in
+            semantic_dedup(df, tau=0.95, n_centroids=3, max_cluster=cap)
+            .select("vec_id").collect()}
+    # the two distinct directions always survive
+    assert {n + 1, n + 2} <= kept
+    hot_survivors = len(kept - {n + 1, n + 2})
+    # unguarded keeps exactly 1; the guard keeps at most ~2^sub_planes *
+    # ceil(n_cell/cap) subgroup canonicals — bounded, far below n
+    assert 1 <= hot_survivors <= 40
+    # and identical vectors in the same subgroup did collapse
+    assert hot_survivors < n // 4
+
+
+def test_semantic_dedup_guard_dormant_under_cap(spark):
+    """With every cluster under max_cluster the guarded result is IDENTICAL
+    to the unguarded one (sub=0, salt=0 keys are inert)."""
+    from ocr_sam_project_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plain = {r.vec_id for r in semantic_dedup(emb, tau=0.9, n_centroids=8)
+             .select("vec_id").collect()}
+    guarded = {r.vec_id for r in
+               semantic_dedup(emb, tau=0.9, n_centroids=8, max_cluster=10**6)
+               .select("vec_id").collect()}
+    assert plain == guarded
+
+
 def test_query_probe_sigs_cover_hamming_ball(spark):
     """The probe set must be exactly {s : bit_count(s^qsig) <= multiprobe}
     — the set the DuckDB oracle models — at every multiprobe, not just 1."""
