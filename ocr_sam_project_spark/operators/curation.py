@@ -268,6 +268,7 @@ def tfidf_topk(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Per-document top-k terms by tf-idf (smooth idf = ln((N+1)/(df+1))) —
     the corpus-analysis primitive behind keyword indexing and topic
@@ -280,17 +281,35 @@ def tfidf_topk(
     10^12 docs), so it broadcasts back onto the tf rows — no second
     corpus-wide shuffle; the final per-doc top-k window shuffles (id,
     term, score) triples only, with Spark's partial WindowGroupLimit
-    capping each map task's output at k rows per doc."""
+    capping each map task's output at k rows per doc.
+
+    Pass **n_docs** (the corpus size ingest/lineage already knows, or a
+    parquet-footer row count — metadata, not a scan) so the operator scans
+    the corpus exactly ONCE; the count() fallback exists for ad-hoc calls
+    but at 100 TB it is a whole extra pass to fetch one scalar."""
     from pyspark.sql import Window
 
-    n_docs = df.count()  # driver-side scalar; the oracle derives the same N
+    if n_docs is None:
+        n_docs = df.count()  # fallback scan; the oracle derives the same N
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_for_fingerprint(F.col(text_col)), " ")).alias(
             "term"
         ),
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the broadcast dfreq branch and the probe side; without a
+    # checkpoint Spark recomputes the whole scan+explode+tf shuffle subtree
+    # for each consumer (measured: 2 corpus scans in the plan).  The lazy
+    # localCheckpoint materializes tf once to executor-local storage
+    # (spillable) — at 100 TB one tf materialization is far cheaper than a
+    # second scan+explode+shuffle of the corpus.  localCheckpoint, not
+    # persist(): checkpoint blocks are RDD-scoped and die with this
+    # DataFrame; a CacheManager entry would leak across repeated calls.
+    tf = (
+        toks.groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(dfreq), "term").select(
         "id",
@@ -366,6 +385,17 @@ def pack_sequences(
 
     from .textstats import token_count
 
+    binned = _pack_binned(df, seq_len, num_parts, text_col, id_col, part_col)
+    return binned.groupBy("part_id", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+
+
+def _pack_binned(df, seq_len, num_parts, text_col, id_col, part_col):
+    """Shared packing core: per-doc (id, part_id, n_toks, _cum, bin_id)."""
+    from .textstats import token_count
+
     part = (
         part_col
         if part_col is not None
@@ -381,10 +411,32 @@ def pack_sequences(
         .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    binned = toks.withColumn("_cum", F.sum("n_toks").over(w)).withColumn(
+    return toks.withColumn("_cum", F.sum("n_toks").over(w)).withColumn(
         "bin_id", F.floor((F.col("_cum") - F.col("n_toks")) / F.lit(seq_len)).cast("long")
     )
-    return binned.groupBy("part_id", "bin_id").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_toks").alias("n_tokens"),
+
+
+def pack_assignments(
+    df: DataFrame,
+    seq_len: int = 512,
+    num_parts: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col=None,
+) -> DataFrame:
+    """Per-document packing assignment — the shape a shard WRITER consumes
+    to materialize packed sequences: (id, part_id, bin_id, offset, n_toks)
+    where `offset` is the doc's first-token position WITHIN its bin
+    (stream position mod seq_len) and `bin_id` the block its first token
+    lands in, under the same frozen order / partition-local cumsum as
+    pack_sequences (whose bin rollup is exactly this table aggregated).
+
+    Same scale shape: one narrow per-stream window, no global order."""
+    binned = _pack_binned(df, seq_len, num_parts, text_col, id_col, part_col)
+    return binned.select(
+        F.col("id").alias(id_col),
+        "part_id",
+        "bin_id",
+        ((F.col("_cum") - F.col("n_toks")) % F.lit(seq_len)).cast("long").alias("offset"),
+        "n_toks",
     )

@@ -2237,7 +2237,13 @@ def _t_tfidf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import tfidf_topk
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return tfidf_topk(docs, k=3)
+    # corpus size from the parquet FOOTER (metadata read, not a scan) — the
+    # bench/driver analog of "ingest already knows n"; the operator then
+    # scans the corpus exactly once (plan-tested)
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return tfidf_topk(docs, k=3, n_docs=n_docs)
 
 
 def _t_tfidf_duck(k: int = 3) -> str:
@@ -2320,6 +2326,40 @@ def _t_pack_duck(seq_len: int = 512, num_parts: int = 8) -> str:
 
 QUERY_FNS["t_pack_sequences"] = _t_pack_fn
 ORACLES["t_pack_sequences"] = _t_pack_duck()
+
+
+def _t_pack_assign_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import pack_assignments
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_assignments(docs, seq_len=512, num_parts=8)
+
+
+def _t_pack_assign_duck(seq_len: int = 512, num_parts: int = 8) -> str:
+    ntok = (
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        f"len({_TOKS_DUCK.format(x='text')}) END AS BIGINT)"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id AS id, CAST(doc_id % {num_parts} AS INT) AS part_id,
+                      {ntok} AS n_toks
+               FROM documents),
+    c AS (SELECT id, part_id, n_toks,
+                 SUM(n_toks) OVER (PARTITION BY part_id
+                                   ORDER BY md5(CAST(id AS VARCHAR)), id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT id AS doc_id, part_id,
+           CAST(floor((cum - n_toks) / {seq_len}.0) AS BIGINT) AS bin_id,
+           CAST((cum - n_toks) % {seq_len} AS BIGINT) AS offset,
+           n_toks
+    FROM c"""
+
+
+# per-doc packing assignment (doc -> part, bin, in-bin offset): the shard-
+# writer half of t_pack_sequences, same frozen order/cumsum, exact oracle.
+QUERY_FNS["t_pack_assignments"] = _t_pack_assign_fn
+ORACLES["t_pack_assignments"] = _t_pack_assign_duck()
 
 
 _SEMDEDUP_CAP = 64  # max_cluster for the oracle-pinned query (guard EXERCISED

@@ -458,6 +458,28 @@ def test_semantic_dedup_keeps_one_per_embedding_cluster(spark):
     assert {3, 4} <= kept
 
 
+def test_pack_assignments_consistent_with_rollup(spark):
+    """The per-doc assignment table aggregated by (part, bin) must equal the
+    pack_sequences rollup exactly, offsets are in [0, seq_len), and a doc's
+    bin is its first-token block."""
+    from ocr_sam_project_spark.operators.curation import (
+        pack_assignments,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    asg = pack_assignments(docs, seq_len=512, num_parts=8)
+    roll = pack_sequences(docs, seq_len=512, num_parts=8)
+    re_roll = asg.groupBy("part_id", "bin_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens")
+    )
+    assert re_roll.exceptAll(roll).count() == 0
+    assert roll.exceptAll(re_roll).count() == 0
+    bad = asg.filter((F.col("offset") < 0) | (F.col("offset") >= 512)).count()
+    assert bad == 0
+    assert asg.count() == docs.count()
+
+
 def test_near_dup_cosine_degenerate_corpus_bounded(spark):
     """A corpus of THOUSANDS of identical embeddings (the common dedup
     degenerate — boilerplate pages embed identically) must complete with a

@@ -251,6 +251,43 @@ def test_tfidf_topk_plan_shape(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_tfidf_topk_parameterized_n_docs_single_scan(spark):
+    """With n_docs supplied (ingest/lineage/footer metadata already knows
+    it), the operator must scan the corpus exactly ONCE — the count()
+    fallback is a whole extra 100 TB pass to fetch one scalar.  The
+    registered t_tfidf_topk query uses the parameterized path."""
+    from ocr_sam_project_spark.operators.curation import tfidf_topk
+    from ocr_sam_project_spark.queries import QUERY_FNS
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = 500  # sf0.001 documents row count, as a caller-known scalar
+    # the tf table is lazily checkpointed (it feeds both the dfreq branch
+    # and the probe side — without it each consumer re-ran the whole
+    # scan+explode+shuffle subtree: 2 parquet scans in the r4 plan).  The
+    # final plan therefore scans parquet ZERO times (tf's one scan lives in
+    # the checkpoint's upstream job) — assert no rescans survive here AND
+    # that the checkpointed subtree itself holds exactly one scan.
+    out = tfidf_topk(docs, k=3, n_docs=n)
+    assert _plan(out).count("Scan parquet") == 0, _plan(out)
+
+    cls = type(docs)  # the concrete (classic) DataFrame class
+    orig = cls.localCheckpoint
+    seen = []
+    try:
+        cls.localCheckpoint = lambda self, eager=True: (
+            seen.append(self._jdf.queryExecution().executedPlan().toString())
+            or orig(self, eager)
+        )
+        tfidf_topk(docs, k=3, n_docs=n)
+    finally:
+        cls.localCheckpoint = orig
+    assert len(seen) == 1 and seen[0].count("Scan parquet") == 1, seen
+    # the registered query threads the footer row count through (no count()
+    # job, no rescan)
+    qplan = _plan(QUERY_FNS["t_tfidf_topk"](spark, "/root/testdata/sf0.001"))
+    assert qplan.count("Scan parquet") == 0, qplan
+
+
 def test_partition_transform_lookup_prunes(spark, pages_parquet, tmp_path):
     """Iceberg-style layout on plain parquet: writing partitioned by
     (days(warc_ts), bucket(url)) makes a url point-lookup a PARTITION
