@@ -681,6 +681,180 @@ _N13 = """SELECT doc_id, substring(text, 1, 40) AS prefix40, length(text) AS n_c
        FROM documents"""
 _sql("n13_truncate", _N13, _N13)
 
+
+# ===========================================================================
+# N banks — the whole normalizer family as TWO multi-column queries, so the
+# driver's 50-row window hash-verifies every scalar normalizer without
+# spending 13 slots (the micro-queries above stay registered for granular
+# pytest coverage and land after the window).  Same expressions, inputs
+# synthesized per doc_id so every branch of every normalizer is exercised.
+# ===========================================================================
+def _n_scalar_bank(spark: bool) -> str:
+    e = (lambda s: s.replace("\\", "\\\\")) if spark else (lambda s: s)
+    flags = "" if spark else ", 'g'"
+    # --- synthesized inputs (identical SQL both dialects) ---------------
+    raw1 = (
+        "CASE WHEN doc_id % 5 = 0 THEN NULL"
+        " WHEN doc_id % 5 = 1 THEN 'null'"
+        " WHEN doc_id % 5 = 2 THEN concat('   ', substring(text, 1, 12), '  ')"
+        f" WHEN doc_id % 5 = 3 THEN CAST(doc_id AS {_S})"
+        " ELSE substring(text, 1, 12) END"
+    )
+    v5 = (
+        "CASE WHEN doc_id % 4 = 0 THEN NULL"
+        " WHEN doc_id % 4 = 1 THEN 'No especificado'"
+        " WHEN doc_id % 4 = 2 THEN '15/06/2025'"
+        f" ELSE concat('2025-0', CAST(doc_id % 9 + 1 AS {_S}), '-15') END"
+    )
+    nm6 = (
+        "CASE WHEN doc_id % 3 = 0 THEN NULL"
+        " WHEN doc_id % 3 = 1 THEN '   '"
+        " ELSE substring(text, 1, 20) END"
+    )
+    comp9 = "concat(substring(text, 1, 8), ' Corp')"
+    cur10 = (
+        "CASE WHEN doc_id % 3 = 0 THEN concat('pague $', CAST(doc_id % 999 AS {S}), ',500.25 hoy')"
+        " WHEN doc_id % 3 = 1 THEN concat('monto ', CAST(doc_id % 999 AS {S}), ' pesos netos')"
+        " ELSE ' sin moneda aqui ' END"
+    ).format(S=_S)
+    s11 = (
+        "CASE WHEN doc_id % 3 = 0 THEN concat('visto el ', CAST(doc_id % 28 + 1 AS {S}),"
+        " '/', CAST(doc_id % 12 + 1 AS {S}), '/2025 y el 2024-01-01 despues')"
+        " WHEN doc_id % 3 = 1 THEN concat('registro 2025-', CAST(doc_id % 9 + 1 AS {S}), '-15 unico')"
+        " ELSE 'sin fecha alguna' END"
+    ).format(S=_S)
+    s12 = (
+        f"concat('caso ', CAST(doc_id * 7 AS {_S}), ' y folio ', CAST(doc_id % 13 AS {_S}))"
+    )
+    # --- normalizer expressions (same semantics as n1..n13) -------------
+    n1 = "CASE WHEN raw1 IS NULL OR raw1 = 'null' THEN '' ELSE trim(raw1) END"
+    n2 = (
+        "trim(regexp_replace(regexp_replace(concat(text, ' @#$ tail'),"
+        f" '{e(chr(92) + 's+')}', ' '{flags}),"
+        f" '{e('[^' + chr(92) + 'w' + chr(92) + 's.,;:!?()-]')}', ''{flags}))"
+    )
+    iso = (
+        "v5 RLIKE '^\\\\d{4}-\\\\d{2}-\\\\d{2}$'"
+        if spark
+        else r"regexp_matches(v5, '^\d{4}-\d{2}-\d{2}$')"
+    )
+    n5 = (
+        "CASE WHEN v5 IS NULL OR v5 IN ('', 'No especificado', 'No especificada', 'null', 'None')"
+        f" THEN '1900-01-01' WHEN {iso} THEN v5 ELSE '1900-01-01' END"
+    )
+    n6 = (
+        "CASE WHEN nm6 IS NULL OR trim(nm6) = '' THEN 'No especificado'"
+        " WHEN length(nm6) > 14 THEN concat(substring(nm6, 1, 11), '...')"
+        " ELSE trim(nm6) END"
+    )
+    stripped9 = (
+        "trim(regexp_replace(regexp_replace(comp9,"
+        + (
+            " '(?i)^(s\\\\.?a\\\\.?|ltda\\\\.?|inc\\\\.?|corp\\\\.?)\\\\s*', ''),"
+            " '(?i)\\\\s+(s\\\\.?a\\\\.?|ltda\\\\.?|inc\\\\.?|corp\\\\.?)$', ''))"
+            if spark
+            else " '(?i)^(s\\.?a\\.?|ltda\\.?|inc\\.?|corp\\.?)\\s*', '', 'g'),"
+            " '(?i)\\s+(s\\.?a\\.?|ltda\\.?|inc\\.?|corp\\.?)$', '', 'g'))"
+        )
+    )
+    n9 = (
+        f"initcap({stripped9})"
+        if spark
+        else (
+            "array_to_string(list_transform(string_split("
+            f"{stripped9}, ' '),"
+            " w -> concat(upper(substr(w, 1, 1)), lower(substr(w, 2)))), ' ')"
+        )
+    )
+    pat_dollar = e("\\$[\\d,]+\\.?\\d*")
+    pat_pesos = e("[\\d,]+\\.?\\d*\\s*pesos")
+    n10 = (
+        f"coalesce(nullif(regexp_extract(cur10, '{pat_dollar}', 0), ''),"
+        f" nullif(regexp_extract(cur10, '(?i){pat_pesos}', 0), ''), trim(cur10))"
+    )
+    dmy = e(r"(\d{1,2}/\d{1,2}/\d{4})")
+    ymd = e(r"(\d{4}-\d{1,2}-\d{1,2})")
+    dmy2 = e(r"(\d{1,2}-\d{1,2}-\d{4})")
+    n11 = (
+        f"coalesce(nullif(regexp_extract(s11, '{dmy}', 1), ''),"
+        f" nullif(regexp_extract(s11, '{ymd}', 1), ''),"
+        f" nullif(regexp_extract(s11, '{dmy2}', 1), ''), 'none')"
+    )
+    first12 = (
+        "regexp_extract(s12, '(\\\\d+)', 1)" if spark else "regexp_extract(s12, '(\\d+)', 1)"
+    )
+    cnt12 = (
+        "size(regexp_extract_all(s12, '\\\\d+', 0))"
+        if spark
+        else "len(regexp_extract_all(s12, '\\d+'))"
+    )
+    return (
+        f"WITH i AS (SELECT doc_id, text, {raw1} AS raw1, {v5} AS v5, {nm6} AS nm6,"
+        f" {comp9} AS comp9, {cur10} AS cur10, {s11} AS s11, {s12} AS s12 FROM documents) "
+        f"SELECT doc_id,"
+        f" {n1} AS cleaned_value,"
+        f" {n2} AS cleaned_text,"
+        f" {n5} AS fecha_safe,"
+        f" {n6} AS safe_name,"
+        f" {n9} AS company,"
+        f" {n10} AS currency,"
+        f" {n11} AS first_date,"
+        f" {first12} AS first_number,"
+        f" CAST({cnt12} AS BIGINT) AS n_numbers,"
+        f" substring(text, 1, 40) AS prefix40,"
+        f" CAST(length(text) AS BIGINT) AS n_chars"
+        f" FROM i"
+    )
+
+
+# N1/N2/N5/N6/N9/N10/N11/N12/N13 in one driver-window row.
+_sql("n_scalar_bank", _n_scalar_bank(True), _n_scalar_bank(False))
+
+
+def _n_parse_bank(spark: bool) -> str:
+    money_pat = "B/\\.\\s*[0-9][0-9,]*\\.?[0-9]{0,2}"
+    mex = (
+        f"regexp_extract(lt, '{money_pat}', 0)".replace("\\", "\\\\")
+        if spark
+        else f"regexp_extract(lt, '{money_pat}', 0)"
+    )
+    clean3 = f"trim(replace(replace({mex}, 'B/.', ''), ',', ''))"
+    pat4 = "(\\d{1,2}) de (\\w+) de (\\d{4})"
+    e = (lambda s: s.replace("\\", "\\\\")) if spark else (lambda s: s)
+    month_case = " ".join(
+        f"WHEN regexp_extract(lt, '{e(pat4)}', 2) = '{m}' THEN '{i + 1:02d}'"
+        for i, m in enumerate(_MONTHS)
+    )
+    nm = _case_mod("doc_id", _NOMBRES)
+    toks = "split(nm, ' ')" if spark else "string_split(nm, ' ')"
+    size = "size(t)" if spark else "len(t)"
+    el = (lambda i: f"element_at(t, {i})") if spark else (lambda i: f"t[{i}]")
+    return (
+        f"WITH d AS (SELECT doc_id, {_legal_text()} AS lt, {nm} AS nm FROM documents), "
+        f"t AS (SELECT doc_id, lt, nm, {toks} AS t FROM d) "
+        f"SELECT doc_id,"
+        f" {mex} AS monto_raw,"
+        f" CASE WHEN try_cast({clean3} AS DOUBLE) IS NULL THEN 0.0"
+        f"      WHEN try_cast({clean3} AS DOUBLE) < 0 THEN 0.0"
+        f"      WHEN try_cast({clean3} AS DOUBLE) > 999999999 THEN 999999999.0"
+        f"      ELSE try_cast({clean3} AS DOUBLE) END AS monto_numerico,"
+        f" CASE WHEN regexp_extract(lt, '{e(pat4)}', 1) = '' THEN '1900-01-01'"
+        f" ELSE concat(regexp_extract(lt, '{e(pat4)}', 3), '-',"
+        f"  CASE {month_case} ELSE NULL END, '-',"
+        f"  lpad(regexp_extract(lt, '{e(pat4)}', 1), 2, '0')) END AS fecha_iso,"
+        f" {el(1)} AS nombre,"
+        f" CASE WHEN {size} > 1 THEN {el(2)} ELSE '' END AS apellido_paterno_v1,"
+        f" CASE WHEN {size} > 2 THEN {el(3)} ELSE '' END AS apellido_materno_v1,"
+        f" CASE WHEN {size} >= 2 THEN {el(f'{size} - 1')} ELSE '' END AS apellido_paterno_v2,"
+        f" CASE WHEN {size} >= 3 THEN {el(size)} ELSE '' END AS apellido_materno_v2"
+        f" FROM t"
+    )
+
+
+# N3 money parse + N4 Spanish date + the N7/N8 divergent name splits in one
+# driver-window row (the parse-family twin of n_scalar_bank).
+_sql("n_parse_bank", _n_parse_bank(True), _n_parse_bank(False))
+
 _F2 = """WITH p AS (SELECT doc_id,
               CASE WHEN doc_id % 5 = 0 THEN 'SEPARADOR DE OFICIOS ====='
                    WHEN doc_id % 5 = 1 THEN concat('pagina con contenido real ', repeat('x ', 120))
@@ -2461,10 +2635,13 @@ ORACLES["s_semantic_dedup"] = _s_semantic_dedup_duck(tau=0.35)
 # ahead of the normalizer micro-queries.  Everything still runs in the
 # pytest parity gate regardless of position.
 _DRIVER_PRIORITY = [
+    # flagship parity invariants (the north_rule byte-identical checks)
     "pipeline_text_parity",
     "pipeline_entities_parity",
     "pipeline_fields_parity",
     "pipeline_cedulas",
+    # dedup family (d_minhash_sig / d_simhash are subsumed in-window by the
+    # composites built on them; still pytest-oracle-verified below the fold)
     "d_lsh_clusters",
     "d_minhash_lsh_portable",
     "d_simhash_near_dups",
@@ -2472,16 +2649,16 @@ _DRIVER_PRIORITY = [
     "d_exact_dedup",
     "d_dedup_against_store",
     "d_url_dedup",
-    "d_minhash_sig",
-    "d_simhash",
+    "d_ngram_jaccard",
+    # similarity / ANN (s_topk_cosine, s_ivf_assign, s_near_dup_cosine are
+    # subsumed by the batch/search/cluster composites over the same math)
     "s_topk_batch",
     "s_ivf_search",
-    "s_ivf_assign",
     "s_topk_cosine_lsh",
-    "s_topk_cosine",
-    "s_near_dup_cosine",
     "s_cosine_clusters",
     "s_semantic_dedup",
+    # curation / training-data tiers (lang-id, quality, repetition, token
+    # counts all hash-verify inside t_curate_corpus's funnel rollup)
     "t_curate_corpus",
     "t_line_dedup",
     "t_decontaminate",
@@ -2490,31 +2667,42 @@ _DRIVER_PRIORITY = [
     "t_tfidf_topk",
     "t_mixture_sample",
     "t_pack_sequences",
-    "t_token_count",
-    "t_repetition",
-    "t_lang_id",
-    "t_quality",
     "t_winnow_fingerprint",
+    # multimodal: opaque-binary fast path AND the real Arrow decode stage
     "m_binary_features",
+    "m_media_features",
+    # extraction operator families
     "x8_enrich_inject",
     "c1_classify",
     "c2_priority",
     "x1_extract_cedula",
     "x3_validation_score",
+    "x10_json_extract",
     "f1_validity_filter",
+    "f_count_tolerance",
+    # the whole normalizer family as two multi-column banks
+    "n_scalar_bank",
+    "n_parse_bank",
+    # aggregates / windows / joins
     "a1_monto_total",
     "a2_status_rollup",
     "q1_pricing_summary",
     "a4_success_rate",
+    "a8_percentiles",
+    "a9_rollup",
     "w1_secuencia",
-    "w3_topk_per_group",
+    "w4_tumbling_window",
+    "w5_sessionize",
     "j1_equi_join",
     "j4_taxonomy_join",
     "j5_asof_join",
-    "w5_sessionize",
-    "a8_percentiles",
-    "a9_rollup",
-    "f_count_tolerance",
+    # --- 50-row window boundary: everything below still runs in the pytest
+    # all-oracle parity gate ---
+    "w3_topk_per_group",
+    "t_token_count",
+    "t_repetition",
+    "t_lang_id",
+    "t_quality",
     "f5_success_split",
     "f6_schema_projection",
 ]
