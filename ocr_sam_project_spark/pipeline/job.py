@@ -110,6 +110,8 @@ def run_extraction_job(
     split_parallelism: Optional[int] = None,
     dedup: Optional[str] = None,
     fp_store_path: Optional[str] = None,
+    url_dedup: bool = False,
+    pii_scrub: bool = False,
 ) -> dict:
     """Run (or resume) the extraction pipeline.
 
@@ -134,6 +136,22 @@ def run_extraction_job(
     and the survivors' fingerprints are appended to the store when this
     run's partitions complete.  The store side is pruned to its fp column
     for the probe; at 100 TB keep it bucketed by fp (sources.bucketing).
+
+    `url_dedup` inserts the CHEAPEST dedup tier ahead of everything else:
+    tracking-param/fragment/case variants of one canonical URL collapse to
+    the min-url page before any text is read or fingerprinted (one hash-
+    shuffle on a short canonical-url string — at 10^12 pages this tier
+    never touches the html/text columns).  Dropped counts land in lineage
+    as `url_dups_dropped`; the text-dedup / fp-store universes exclude url
+    losers so every dropped page is audited exactly once.
+
+    `pii_scrub` redacts emails / phone numbers / cedula IDs from the
+    extracted text AFTER extraction (pure regexp codegen on the narrow
+    output — the input corpus is untouched), appending a per-row
+    `pii_redactions` count column to the extractions table and the
+    per-partition totals to lineage.  NOTE: scrubbing deliberately breaks
+    the byte-identical-vs-reference invariant — it is a training-corpus
+    tier, off by default.
     Returns a small summary dict.
     """
     run_ts = run_ts or datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -154,6 +172,43 @@ def run_extraction_job(
     t0 = time.monotonic()
     tm = t0
 
+    def _per_part_counts(loser_urls: DataFrame) -> dict[int, int]:
+        """Per-partition loser counts restricted to THIS run's parts —
+        the shared lineage-audit pattern for every drop tier."""
+        here = with_part_id(loser_urls, num_parts)
+        if done:
+            here = here.filter(~F.col("part_id").isin(list(done)))
+        if only_parts is not None:
+            here = here.filter(F.col("part_id").isin(only_parts))
+        return {
+            r.part_id: r.n
+            for r in here.groupBy("part_id").agg(F.count("*").alias("n")).collect()
+        }
+
+    # --- tier 0: canonical-URL dedup (no text read at all) ---------------
+    url_drops_by_part: dict[int, int] = {}
+    url_dups_dropped = 0
+    dedup_universe = pages  # later tiers exclude earlier tiers' losers so
+    #                         each dropped page is audited exactly once
+    if url_dedup:
+        from pyspark.sql import Window
+
+        from ..operators.curation import canonical_url
+
+        w = Window.partitionBy("_cu")
+        url_losers = (
+            pages.select("url", canonical_url(F.col("url")).alias("_cu"))
+            .withColumn("_keep", F.min("url").over(w))
+            .filter(F.col("url") != F.col("_keep"))
+            .select("url")
+            .localCheckpoint()  # eager: the canonicalize DAG runs once
+        )
+        url_drops_by_part = _per_part_counts(url_losers)
+        url_dups_dropped = sum(url_drops_by_part.values())
+        todo = todo.join(url_losers, "url", "left_anti")
+        dedup_universe = dedup_universe.join(url_losers, "url", "left_anti")
+        tm = _mark("url-dedup", tm)
+
     dups_by_part: dict[int, int] = {}
     dups_dropped = 0
     if dedup is not None:
@@ -166,21 +221,11 @@ def run_extraction_job(
         # resume a duplicate pair can span a completed part and a remaining
         # one, and a todo-only universe would let the remaining copy through
         # (the winner-by-min-url is also only stable against the full set).
-        dedupable = pages.filter(F.length(F.trim(F.col("text"))) > 0)
+        dedupable = dedup_universe.filter(F.length(F.trim(F.col("text"))) > 0)
         losers = dedup_losers(
             dedupable, method=dedup, text_col="text", id_col="url"
         ).localCheckpoint()  # eager: the dedup DAG runs exactly once
-        losers_here = with_part_id(losers, num_parts)
-        if done:  # lineage counts only what THIS run actually drops
-            losers_here = losers_here.filter(~F.col("part_id").isin(list(done)))
-        if only_parts is not None:
-            losers_here = losers_here.filter(F.col("part_id").isin(only_parts))
-        dups_by_part = {
-            r.part_id: r.n
-            for r in losers_here.groupBy("part_id")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
+        dups_by_part = _per_part_counts(losers)
         dups_dropped = sum(dups_by_part.values())
         # Regime note (100 TB): this anti-join broadcasts while the loser
         # set fits spark.sql.autoBroadcastJoinThreshold (the common <~1%-dup
@@ -214,29 +259,21 @@ def run_extraction_job(
             # processed by a COMPLETED earlier run — drop it before the
             # Arrow stage.  Same full-corpus/resume discipline as the
             # in-run loser set above; empty texts bypass (own provenance).
-            # The probe universe excludes this run's IN-RUN losers: a page
-            # that is both an in-batch duplicate and a store hit must be
-            # audited exactly once (it was already counted in dups_by_part;
+            # The probe universe excludes every EARLIER tier's losers (url
+            # variants, in-run text dups): a page dropped by two tiers must
+            # be audited exactly once (it was already counted upstream;
             # counting it here too would overstate the lineage/metrics drop
             # totals — the anti-joins themselves were always idempotent).
-            store_universe = pages.filter(F.length(F.trim(F.col("text"))) > 0)
+            store_universe = dedup_universe.filter(
+                F.length(F.trim(F.col("text"))) > 0
+            )
             if dedup is not None:
                 store_universe = store_universe.join(losers, "url", "left_anti")
             fps = corpus_fingerprints(store_universe, "text", "url")
             store_losers = (
                 fps.join(store, "fp", "left_semi").select("url").localCheckpoint()
             )
-            sl_here = with_part_id(store_losers, num_parts)
-            if done:
-                sl_here = sl_here.filter(~F.col("part_id").isin(list(done)))
-            if only_parts is not None:
-                sl_here = sl_here.filter(F.col("part_id").isin(only_parts))
-            store_dups_by_part = {
-                r.part_id: r.n
-                for r in sl_here.groupBy("part_id")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
+            store_dups_by_part = _per_part_counts(store_losers)
             store_dups_dropped = sum(store_dups_by_part.values())
             todo = todo.join(store_losers, "url", "left_anti")
             tm = _mark("store-dedup", tm)
@@ -246,6 +283,37 @@ def run_extraction_job(
     extracted = extract_stage(todo, pages_per_doc).withColumn(
         "part_id", F.pmod(F.xxhash64(F.col("url")), F.lit(num_parts)).cast("int")
     )
+
+    # --- optional post-extract PII scrub (narrow regexp codegen on the
+    # already-small output; counts ride a per-row column into the written
+    # table so the lineage rollup needs no extra pass) ---------------------
+    if pii_scrub:
+        from ..operators.curation import (
+            PII_CEDULA_RE,
+            PII_EMAIL_RE,
+            PII_PHONE_RE,
+        )
+
+        t = F.col("extracted_text")
+        after_phone = F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+        )
+        # ids counted AFTER phone redaction (a phone's digit tail would
+        # double-count as an id fragment) — same order as operators.pii_scrub
+        n_red = (
+            F.regexp_count(t, F.lit(PII_EMAIL_RE))
+            + F.regexp_count(t, F.lit(PII_PHONE_RE))
+            + F.regexp_count(after_phone, F.lit(PII_CEDULA_RE))
+        )
+        extracted = extracted.withColumn(
+            "pii_redactions",
+            F.when(t.isNull(), F.lit(0)).otherwise(n_red).cast("long"),
+        ).withColumn(
+            "extracted_text",
+            F.when(
+                t.isNull(), t
+            ).otherwise(F.regexp_replace(after_phone, PII_CEDULA_RE, "<ID>")),
+        )
 
     # One explicit shuffle of the EXTRACTED rows (boilerplate already
     # stripped — far smaller than the input html) clusters each lineage
@@ -275,6 +343,9 @@ def run_extraction_job(
         this_run = this_run.filter(~F.col("part_id").isin(list(done)))
     if only_parts is not None:
         this_run = this_run.filter(F.col("part_id").isin(only_parts))
+    pii_agg = (
+        F.sum("pii_redactions") if pii_scrub else F.lit(0).cast("long")
+    ).alias("pii_n")
     stats_rows = (
         this_run
         .groupBy("part_id")
@@ -282,11 +353,13 @@ def run_extraction_job(
             F.countDistinct("url").alias("docs_in"),
             F.count("*").alias("segments_out"),
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+            pii_agg,
         )
         .collect()
     )
     tm = _mark("stats", tm)
     docs_in = int(sum(r.docs_in for r in stats_rows))
+    pii_redactions_total = int(sum(r.pii_n or 0 for r in stats_rows))
     # a partition whose EVERY page was a dedup loser writes zero output rows
     # and so never appears in the written table — it is still COMPLETE, and
     # without a lineage row every resume would re-run it (and re-count its
@@ -298,20 +371,28 @@ def run_extraction_job(
         p: dups_by_part.get(p, 0) + store_dups_by_part.get(p, 0)
         for p in set(dups_by_part) | set(store_dups_by_part)
     }
-    dedup_only_parts = sorted(p for p in drops_by_part if p not in seen_parts)
+    dedup_only_parts = sorted(
+        p
+        for p in set(drops_by_part) | set(url_drops_by_part)
+        if p not in seen_parts
+    )
     if not stats_rows and not dedup_only_parts:
         return {"run_id": run_id, "docs_in": 0, "segments_out": 0, "errors": 0,
                 "dups_dropped": dups_dropped,
                 "store_dups_dropped": store_dups_dropped,
+                "url_dups_dropped": url_dups_dropped,
+                "pii_redactions": 0,
                 "skipped_parts": sorted(done), "elapsed_sec": 0.0}
     stats = spark.createDataFrame(
         [
             (r.part_id, "completed", r.docs_in, r.segments_out, r.errors,
-             drops_by_part.get(r.part_id, 0), run_id, run_ts)
+             drops_by_part.get(r.part_id, 0),
+             url_drops_by_part.get(r.part_id, 0), r.pii_n or 0, run_id, run_ts)
             for r in stats_rows
         ]
         + [
-            (p, "completed", 0, 0, 0, drops_by_part[p], run_id, run_ts)
+            (p, "completed", 0, 0, 0, drops_by_part.get(p, 0),
+             url_drops_by_part.get(p, 0), 0, run_id, run_ts)
             for p in dedup_only_parts
         ],
         schema=LINEAGE_SCHEMA,
@@ -327,6 +408,8 @@ def run_extraction_job(
             (run_id, "errors", float(err_out), run_ts),
             (run_id, "dups_dropped", float(dups_dropped), run_ts),
             (run_id, "store_dups_dropped", float(store_dups_dropped), run_ts),
+            (run_id, "url_dups_dropped", float(url_dups_dropped), run_ts),
+            (run_id, "pii_redactions", float(pii_redactions_total), run_ts),
             (run_id, "elapsed_sec", float(elapsed), run_ts),
             (run_id, "docs_per_sec", float(docs_in) / elapsed if elapsed > 0 else 0.0, run_ts),
         ],
@@ -358,6 +441,8 @@ def run_extraction_job(
         "errors": err_out,
         "dups_dropped": dups_dropped,
         "store_dups_dropped": store_dups_dropped,
+        "url_dups_dropped": url_dups_dropped,
+        "pii_redactions": pii_redactions_total,
         "skipped_parts": sorted(done),
         "elapsed_sec": elapsed,
     }

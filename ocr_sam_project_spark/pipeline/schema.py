@@ -133,6 +133,12 @@ LINEAGE_SCHEMA = StructType(
         # at 100 TB you dedup BEFORE paying Python extraction, and the
         # dropped counts must be auditable per partition
         StructField("dups_dropped", LongType(), True),
+        # pages removed by the optional url-canonicalization tier (the
+        # cheapest dedup: runs before any text is even read) and PII
+        # strings redacted by the optional post-extract scrub tier —
+        # both 0 when their tier is off
+        StructField("url_dups_dropped", LongType(), True),
+        StructField("pii_redactions", LongType(), True),
         StructField("run_id", StringType(), True),
         StructField("updated_at", TimestampType(), True),
     ]

@@ -322,6 +322,76 @@ def test_job_in_run_and_store_dedup_compose(spark, pages_parquet, tmp_path):
     assert lin.agg(F.sum("dups_dropped")).first()[0] == 6
 
 
+def test_job_all_curation_tiers_compose(spark, pages_parquet, tmp_path):
+    """url_dedup (pre-text tier) + dedup="exact" + fp_store_path +
+    pii_scrub all on in one run: each tier drops/redacts its own slice,
+    every dropped page is audited exactly once across the three drop
+    tallies, and lineage carries url_dups_dropped + pii_redactions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(pages_parquet)
+    nonempty = [r for r in base.to_pylist() if (r["text"] or "").strip()]
+    store = str(tmp_path / "fp_store")
+
+    # run 1 fills the store with the base corpus
+    in1 = tmp_path / "c1"
+    in1.mkdir()
+    pq.write_table(base, str(in1 / "p.parquet"))
+    run_extraction_job(
+        spark, str(in1), str(tmp_path / "o1"), run_id="c1", num_parts=8,
+        fp_store_path=store,
+    )
+
+    # crawl 2, engineered one page per tier:
+    #  A: two URL variants of ONE page (utm params) -> url tier drops 1
+    #  B: re-crawl of a run-1 text under a new url    -> store tier drops 1
+    #  C: two copies of a FRESH text                  -> in-run tier drops 1
+    #  D: fresh text containing PII                   -> scrubbed, counted
+    # html=None on the engineered pages: extraction prefers the DOM parse
+    # when html is present, and these tests pin the text-path content
+    a1 = dict(nonempty[0]); a1["url"] = "https://a.example.com/x"
+    a1["text"] = "texto fresco de la variante a para el caso"; a1["html"] = None
+    a2 = dict(a1); a2["url"] = "https://a.example.com/x?utm_source=feed"
+    b = dict(nonempty[1]); b["url"] = "https://b.example.com/recrawl"
+    c1 = dict(nonempty[0]); c1["url"] = "https://c.example.com/1"
+    c1["text"] = "contenido nuevo duplicado en dos urls distintas"; c1["html"] = None
+    c2 = dict(c1); c2["url"] = "https://c.example.com/2"
+    d = dict(nonempty[0]); d["url"] = "https://d.example.com/pii"
+    d["text"] = ("Oficio No. JE-123-2025 del Juzgado Primero de lo Civil. "
+                 "escriba a maria@correo.example.org con cedula 8-123-456")
+    d["html"] = None
+    in2 = tmp_path / "c2"
+    in2.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist([a1, a2, b, c1, c2, d], schema=base.schema),
+        str(in2 / "p.parquet"),
+    )
+
+    s = run_extraction_job(
+        spark, str(in2), str(tmp_path / "o2"), run_id="c2", num_parts=8,
+        dedup="exact", fp_store_path=store, url_dedup=True, pii_scrub=True,
+    )
+    assert s["url_dups_dropped"] == 1   # a2 (utm variant)
+    assert s["dups_dropped"] == 1       # c2 (in-run text dup)
+    assert s["store_dups_dropped"] == 1  # b (re-crawl)
+    assert s["docs_in"] == 3            # a1, c1, d extracted
+    assert s["pii_redactions"] >= 2     # d's email + cedula (at least)
+
+    written = spark.read.parquet(f"{tmp_path}/o2/extractions")
+    assert written.filter(F.col("url") == a2["url"]).count() == 0
+    d_rows = written.filter(F.col("url") == d["url"]).collect()
+    assert d_rows and all(
+        "maria@" not in (r.extracted_text or "") for r in d_rows
+    )
+    assert any("<EMAIL>" in (r.extracted_text or "") for r in d_rows)
+
+    lin = spark.read.parquet(f"{tmp_path}/o2/lineage")
+    assert lin.agg(F.sum("url_dups_dropped")).first()[0] == 1
+    assert lin.agg(F.sum("dups_dropped")).first()[0] == 2  # text + store tiers
+    assert lin.agg(F.sum("pii_redactions")).first()[0] == s["pii_redactions"]
+
+
 def test_job_store_and_inrun_loser_counted_once(spark, pages_parquet, tmp_path):
     """A page that is BOTH an in-run duplicate loser AND a store hit must be
     audited exactly once: the store probe runs over the post-in-run-dedup
