@@ -205,9 +205,21 @@ def main() -> None:
 
         return run
 
+    def _funnel(rep: int) -> None:
+        # every curation tier at once: url-canonicalization dedup (pre-text),
+        # exact text dedup (pre-Arrow), post-extract PII scrub — the full
+        # training-corpus funnel shape with per-tier lineage audit
+        out_dir = tempfile.mkdtemp(prefix="bench_funnel_")
+        summaries["funnel"] = run_extraction_job(
+            spark, dup_path, out_dir, run_id=f"funnel{rep}", num_parts=CPUS,
+            dedup="exact", url_dedup=True, pii_scrub=True,
+        )
+        shutil.rmtree(out_dir, ignore_errors=True)
+
     entries: list[tuple[str, object, int]] = [
         ("headline", _job(pages_path, None, "headline"), HEADLINE_ROUNDS),
         ("dedup_pipeline", _job(dup_path, "exact", "dedup"), QUERY_ROUNDS),
+        ("funnel_pipeline", _funnel, QUERY_ROUNDS),
     ]
     entries += [(n, _query(n), QUERY_ROUNDS) for n in BENCH_QUERIES]
     # rebuilds go to a SIBLING dir — writing under sig_dir would put a
@@ -232,25 +244,34 @@ def main() -> None:
             QUERY_ROUNDS,
         )
     )
-    # semantic-dedup deployment lesson, benched under its own name (the k=8
-    # entry above is ORACLE-pinned; production picks k ~ sqrt(n) so the
-    # in-cluster block joins are balanced — the gap between the two entries
-    # is the cost of a skewed/undersized centroid count)
+    # semantic-dedup deployment A/B under explicit names (r4 verdict task 8):
+    # the skewed k=8 case vs the balanced k~sqrt(n) case, BOTH at the
+    # production-ish tau=0.9 and with the cluster guard on, so the pair is
+    # isolated on the centroid-count (skew) variable alone.  (The registered
+    # `s_semantic_dedup` entry above is the driver-matched query — tau=0.35
+    # for a pair-dense oracle hash — and is not the A/B.)
     from ocr_sam_project_spark.operators.similarity import semantic_dedup
 
     n_emb = emb.count()
     k_sqrt = max(2, int(n_emb**0.5))
-    entries.append(
-        (
-            "s_semantic_dedup_sqrtk",
-            lambda rep: semantic_dedup(emb, tau=0.9, n_centroids=k_sqrt, max_cluster=64)
-            .select("vec_id")
-            .write.format("noop")
-            .mode("overwrite")
-            .save(),
-            QUERY_ROUNDS,
+
+    def _semdedup(k: int, name: str) -> None:
+        entries.append(
+            (
+                name,
+                lambda rep: semantic_dedup(
+                    emb, tau=0.9, n_centroids=k, max_cluster=64
+                )
+                .select("vec_id")
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+                QUERY_ROUNDS,
+            )
         )
-    )
+
+    _semdedup(8, "s_semantic_dedup_k8")
+    _semdedup(k_sqrt, "s_semantic_dedup_sqrtk")
 
     times: dict[str, list[float]] = {name: [] for name, _, _ in entries}
 
@@ -296,6 +317,7 @@ def main() -> None:
     qtimes["s_lsh_sig_build_cold"] = lsh_cold_sec
     qtimes["s_lsh_sig_build_once"] = round(med["s_lsh_sig_build_once"], 3)
     qtimes["s_lsh_probe_only"] = round(med["s_lsh_probe_only"], 3)
+    qtimes["s_semantic_dedup_k8"] = round(med["s_semantic_dedup_k8"], 3)
     qtimes["s_semantic_dedup_sqrtk"] = round(med["s_semantic_dedup_sqrtk"], 3)
     shutil.rmtree(sig_dir, ignore_errors=True)
     shutil.rmtree(rebuild_dir, ignore_errors=True)
@@ -316,6 +338,9 @@ def main() -> None:
                 "dedup_exact_pipeline_sec": round(med["dedup_pipeline"], 3),
                 "dedup_pages_in": s_dd["docs_in"] + s_dd["dups_dropped"],
                 "dedup_dups_dropped": s_dd["dups_dropped"],
+                "funnel_pipeline_sec": round(med["funnel_pipeline"], 3),
+                "funnel_url_dups_dropped": summaries["funnel"]["url_dups_dropped"],
+                "funnel_pii_redactions": summaries["funnel"]["pii_redactions"],
                 "cpus": CPUS,
                 "stat": "median",
                 "reps": {"headline": len(times["headline"]), "queries": QUERY_ROUNDS},
@@ -340,7 +365,8 @@ def main() -> None:
                 "cpus": CPUS,
                 "stat": "median",
                 "dedup_exact_pipeline_sec": round(med["dedup_pipeline"], 3),
-                "s_semantic_dedup_sec": round(med["s_semantic_dedup"], 3),
+                "funnel_pipeline_sec": round(med["funnel_pipeline"], 3),
+                "s_semantic_dedup_k8_sec": round(med["s_semantic_dedup_k8"], 3),
                 "s_semantic_dedup_sqrtk_sec": round(med["s_semantic_dedup_sqrtk"], 3),
             }
         ),

@@ -1421,6 +1421,61 @@ ORACLES["s_cosine_clusters"] = f"""
     SELECT id AS doc_id, MIN(reach) AS canonical_id FROM walk GROUP BY id"""
 QUERY_FNS["s_cosine_clusters"] = _s_cosine_clusters_fn
 
+
+# --- the BUCKETED operator itself (near_dup_cosine), oracle-verified -------
+_RHP_ND_PLANES = 4   # 2^4 buckets over the 500-vec test corpus -> ~31/bucket
+_RHP_ND_CAP = 16     # < avg bucket, so the salt guard is EXERCISED in the check
+_RHP_ND_TAU = 0.35   # below the synthetic max pairwise cosine (~0.51): dense
+
+
+def _s_rhp_near_dup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup operator (RHP-signature buckets + salted
+    bucket cap) — unlike s_near_dup_cosine (the exact-pairwise baseline),
+    this verifies the CAPPED bucketed path end-to-end: signature bits,
+    per-bucket sizes, the ceil(n/cap) id-hash salt, and in-bucket cosines
+    all have to agree with the DuckDB twin for the hash to match."""
+    from .operators.similarity import near_dup_cosine
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return near_dup_cosine(
+        df, tau=_RHP_ND_TAU, n_planes=_RHP_ND_PLANES, max_bucket=_RHP_ND_CAP
+    )
+
+
+def _s_rhp_near_dup_duck() -> str:
+    from .operators.similarity import deterministic_planes
+
+    planes = deterministic_planes(64, _RHP_ND_PLANES)
+    pl = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+    sig_bits = " + ".join(
+        f"CASE WHEN list_dot_product(e.ea, {pl[i]}) >= 0 THEN {2**i} ELSE 0 END"
+        for i in range(_RHP_ND_PLANES)
+    )
+    cap = _RHP_ND_CAP
+    salt_h = _H_DUCK.format(x="CAST(s.vec_id AS VARCHAR)")
+    cos_p = (
+        "ROUND(list_dot_product(a.ea, b.ea) /"
+        " (sqrt(list_dot_product(a.ea, a.ea)) *"
+        "  sqrt(list_dot_product(b.ea, b.ea))), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings),
+    s AS (SELECT vec_id, ea, ({sig_bits}) AS sig FROM e),
+    gz AS (SELECT sig, COUNT(*) AS gn FROM s GROUP BY sig),
+    s2 AS (SELECT s.vec_id, s.ea, s.sig,
+                  CASE WHEN gz.gn > {cap}
+                       THEN {salt_h} % CAST(ceil(gz.gn / {cap}.0) AS BIGINT)
+                       ELSE 0 END AS salt
+           FROM s JOIN gz ON gz.sig = s.sig)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_p} AS sim
+    FROM s2 a JOIN s2 b ON a.sig = b.sig AND a.salt = b.salt
+                       AND a.vec_id < b.vec_id
+    WHERE {cos_p} >= {_RHP_ND_TAU}"""
+
+
+QUERY_FNS["s_rhp_near_dup"] = _s_rhp_near_dup_fn
+ORACLES["s_rhp_near_dup"] = _s_rhp_near_dup_duck()
+
 # ===========================================================================
 # M — multimodal plumbing (binary column feature extraction)
 # ===========================================================================

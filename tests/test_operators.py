@@ -502,6 +502,26 @@ def test_near_dup_cosine_degenerate_corpus_bounded(spark):
     assert pairs.filter(F.col("sim") < 0.999999).count() == 0
 
 
+def test_salted_group_cap_boundaries(spark):
+    """Groups AT the cap keep salt 0 (no split); a group of cap+1 splits
+    into exactly ceil((cap+1)/cap) = 2 salt values; salts are stable
+    (pure md5 function of id)."""
+    from ocr_sam_project_spark.operators.similarity import salted_group_cap
+
+    cap = 8
+    rows = [(i, "at") for i in range(cap)] + [(100 + i, "over") for i in range(cap + 1)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = salted_group_cap(df, ["g"], cap, "id")
+    at = out.filter(F.col("g") == "at").select("_salt").distinct().collect()
+    assert [r._salt for r in at] == [0]
+    over = {r._salt for r in out.filter(F.col("g") == "over").collect()}
+    assert over <= {0, 1} and len(over) == 2
+    # determinism: same input -> same salts
+    again = {(r.id, r._salt) for r in salted_group_cap(df, ["g"], cap, "id").collect()}
+    first = {(r.id, r._salt) for r in out.collect()}
+    assert again == first
+
+
 def test_near_dup_cosine_auto_plane_scaling(spark):
     """n_planes=None sizes the signature from the corpus: small corpora get
     the 8-plane floor; a 10^9-row corpus sizes to 24 planes (2^planes
