@@ -440,3 +440,203 @@ def pack_assignments(
         ((F.col("_cum") - F.col("n_toks")) % F.lit(seq_len)).cast("long").alias("offset"),
         "n_toks",
     )
+
+
+# --------------------------------------------------------------------------
+def boilerplate_strip(
+    df: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Per-domain boilerplate removal — the CCNet/RefinedWeb site-template
+    rule the GLOBAL C4 line dedup (line_dedup above) doesn't express: a
+    line whose canonical fingerprint appears in >= `min_docs` DISTINCT
+    documents of the SAME domain is template text (nav bars, cookie
+    banners, footers) and is stripped from EVERY document of that domain
+    — including its first occurrence, unlike line_dedup's keep-one.
+    Returns (id, domain, text, n_kept, n_dropped); text may be '' for a
+    pure-template document.  Blank lines never participate (kept in
+    place).
+
+    Scale shape (100 TB): lines explode once; the per-(domain, line-fp)
+    distinct-doc count is a two-level aggregate (dedup (domain, lfp, id)
+    then count — both with map-side partial combine, spill-safe), and the
+    surviving boilerplate set is TINY relative to the corpus (only
+    fingerprints above threshold) so it broadcasts back onto the line
+    stream; one id shuffle rebuilds documents.  A collect_set-over-window
+    formulation would hold every doc id of a mega-shared banner in one
+    window buffer; the aggregate form keeps it under TungstenAggregate
+    spill discipline.  Reference parity: the reference curates documents
+    one at a time in Lambda handlers and has no cross-document pass at
+    all (src/handlers/document_processor/app.py) — this is the
+    corpus-level analog the north_star's training-data pipeline needs.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lfp", F.md5(normalize_for_fingerprint(F.col("line"))))
+    participating = F.length(F.trim(F.col("line"))) > 0
+    bp = (
+        lines.filter(participating)
+        .select("domain", "lfp", "id")
+        .distinct()
+        .groupBy("domain", "lfp")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("domain", "lfp", F.lit(True).alias("_bp"))
+    )
+    marked = lines.join(F.broadcast(bp), ["domain", "lfp"], "left").withColumn(
+        "_keep", (~participating) | F.col("_bp").isNull()
+    )
+    rebuilt = marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("_keep"), F.struct("pos", "line")))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_dropped"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(domain_col).alias("domain"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("domain").alias(domain_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-self-trained unigram language-model score — the CCNet-style
+    perplexity-filter proxy that needs no external LM: every document is
+    scored by the mean log-probability of its tokens under the corpus's
+    own add-one-smoothed unigram distribution
+
+        logp(t) = ln((count(t) + 1) / (total_tokens + vocab_size))
+
+    Low scores flag gibberish / OCR noise / wrong-language text exactly
+    like a KenLM perplexity gate, with the model derived in the same
+    pass.  Returns (id, n_tokens, avg_logprob); empty docs get NULL
+    avg_logprob.
+
+    Cross-engine determinism: per-term logp is rounded to 6 dp and cast
+    DECIMAL(18,6) BEFORE the per-doc sum, so the accumulation is exact
+    integer-scaled arithmetic — float sums are not associative across
+    partition orders and would hash-mismatch the oracle.  The final mean
+    divides once in double and rounds to 6 dp.
+
+    Scale shape (100 TB): one corpus scan into the (id, term) tf shuffle
+    (lazily checkpointed — it feeds both the vocab branch and the probe
+    side, and Spark would otherwise re-run the scan+explode per consumer);
+    the vocab table is VOCABULARY-sized so its totals fold to one row
+    (broadcast cross-join, no driver collect) and the logp table
+    broadcasts back onto tf.  No second corpus-wide shuffle."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_for_fingerprint(F.col(text_col)), " ")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    tf = (
+        toks.groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = vocab.agg(
+        F.sum("c").alias("_total"), F.count("*").alias("_vocab")
+    )
+    logp = vocab.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(
+            F.log((F.col("c") + 1.0) / (F.col("_total") + F.col("_vocab"))), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("_logp"),
+    )
+    scored = tf.join(F.broadcast(logp), "term").groupBy("id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("_logp")).alias("_sum_lp"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.col("_sum_lp").cast("double") / F.col("n_tokens"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy per-domain token-budget selection — the data-mixing
+    primitive that turns "20% web, 10% code, ..." token recipes into a
+    concrete document set: within each domain, documents are ranked by
+    (quality_score DESC, id ASC) and kept while the running token total
+    stays within `budget`.  Deterministic (frozen quality formula, id
+    tiebreak), so re-runs and resumes select the identical set.  Returns
+    (id, domain, n_tokens).
+
+    Scale shape (100 TB): mirrors domain_cap's under/over split — one
+    light per-domain token-total aggregate finds the over-budget domain
+    list (small, broadcast); UNDER-budget domains keep everything and
+    bypass the expensive per-domain quality sort entirely; only the
+    over-budget slice pays the window, and its running sum is a single
+    streaming pass per domain partition.  A hot mega-domain ships its
+    rows through one window partition — at 10^9-doc domains, pre-filter
+    with an approximate quality threshold from a sample before the exact
+    window."""
+    from .textstats import quality_score, token_count
+
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        quality_score(F.col(text_col)).alias("_q"),
+    )
+    totals = scored.groupBy("domain").agg(F.sum("n_tokens").alias("_tot"))
+    over = totals.filter(F.col("_tot") > budget).select("domain")
+    under_rows = scored.join(F.broadcast(over), "domain", "left_anti")
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(F.col("_q").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    capped = (
+        scored.join(F.broadcast(over), "domain", "left_semi")
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .filter(F.col("_cum") <= budget)
+    )
+    return under_rows.unionByName(capped.drop("_cum")).select(
+        F.col("id").alias(id_col),
+        F.col("domain").alias(domain_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )

@@ -2591,6 +2591,158 @@ QUERY_FNS["t_pack_assignments"] = _t_pack_assign_fn
 ORACLES["t_pack_assignments"] = _t_pack_assign_duck()
 
 
+_BP_MIN_DOCS = 3  # within-domain distinct-doc threshold for template lines
+
+
+def _t_boilerplate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain boilerplate strip: both engines re-chunk the canonical
+    tokens into 12-token lines (the synthetic docs are one physical line)
+    and graft one deterministic per-domain banner line on top — the site
+    template every real crawl has — then strip every line fingerprint
+    seen in >= 3 distinct docs of the SAME domain (banner: all 25; the
+    organic 2-doc chunk repeats stay, proving the threshold bites)."""
+    from .operators.curation import boilerplate_strip
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tk = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    n_lines = F.ceil(F.size(tk) / F.lit(_CHUNK)).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("source"),
+            F.lit(" portal — términos y cookies\n"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), n_lines - 1),
+                    lambda i: F.array_join(F.slice(tk, i * _CHUNK + 1, _CHUNK), " "),
+                ),
+                "\n",
+            ),
+        ).alias("text"),
+    )
+    return boilerplate_strip(chunked, min_docs=_BP_MIN_DOCS)
+
+
+def _t_boilerplate_duck() -> str:
+    norm = _NORM_DUCK.format(x="text")
+    c = _CHUNK
+    return f"""
+    WITH t AS (SELECT doc_id, source, regexp_split_to_array({norm}, ' ') AS tk
+               FROM documents),
+    l AS (SELECT doc_id, source, unnest(range(0, CAST(ceil(len(tk) / {c}.0) AS INT) + 1)) AS pos, tk
+          FROM t),
+    lines AS (SELECT doc_id, source, CAST(pos AS BIGINT) AS pos,
+                     CASE WHEN pos = 0
+                          THEN source || ' portal — términos y cookies'
+                          ELSE array_to_string(tk[((pos - 1) * {c} + 1):((pos - 1) * {c} + {c})], ' ')
+                     END AS line
+              FROM l),
+    bp AS (SELECT source, md5({_NORM_DUCK.format(x='line')}) AS lfp
+           FROM lines WHERE length(trim(line)) > 0
+           GROUP BY source, md5({_NORM_DUCK.format(x='line')})
+           HAVING COUNT(DISTINCT doc_id) >= {_BP_MIN_DOCS}),
+    flagged AS (SELECT doc_id, source, pos, line,
+                       (length(trim(line)) = 0)
+                       OR md5({_NORM_DUCK.format(x='line')}) NOT IN
+                          (SELECT lfp FROM bp b WHERE b.source = lines.source) AS keep
+                FROM lines),
+    rebuilt AS (SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text,
+                       COUNT(*) AS n_kept
+                FROM flagged WHERE keep GROUP BY doc_id),
+    dropped AS (SELECT doc_id, COUNT(*) AS n_dropped
+                FROM flagged WHERE NOT keep GROUP BY doc_id)
+    SELECT d.doc_id, d.source,
+           COALESCE(r.text, '') AS text,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(x.n_dropped, 0) AS BIGINT) AS n_dropped
+    FROM documents d
+    LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    LEFT JOIN dropped x ON x.doc_id = d.doc_id"""
+
+
+# per-domain template-line strip (CCNet/RefinedWeb rule): banner grafted in
+# both engines; organic 2-doc repeats stay below the min_docs=3 threshold.
+QUERY_FNS["t_boilerplate_strip"] = _t_boilerplate_fn
+ORACLES["t_boilerplate_strip"] = _t_boilerplate_duck()
+
+
+def _t_unigram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob(docs)
+
+
+def _t_unigram_duck() -> str:
+    norm = _NORM_DUCK.format(x="text")
+    return f"""
+    WITH toks AS (SELECT doc_id AS id,
+                         unnest(regexp_split_to_array({norm}, ' ')) AS term
+                  FROM documents),
+    t2 AS (SELECT id, term FROM toks WHERE term <> ''),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM t2 GROUP BY id, term),
+    vocab AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
+    tot AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM vocab),
+    logp AS (SELECT term,
+                    CAST(ROUND(ln((c + 1.0) / (tot.total + tot.v)), 6)
+                         AS DECIMAL(18,6)) AS lp
+             FROM vocab CROSS JOIN tot),
+    scored AS (SELECT tf.id,
+                      CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                      SUM(tf.tf * logp.lp) AS sum_lp
+               FROM tf JOIN logp USING (term) GROUP BY tf.id)
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CASE WHEN s.n_tokens > 0
+                THEN ROUND(CAST(s.sum_lp AS DOUBLE) / s.n_tokens, 6)
+           END AS avg_logprob
+    FROM documents d LEFT JOIN scored s ON s.id = d.doc_id"""
+
+
+# corpus-self-trained unigram-LM doc score (CCNet perplexity-gate proxy);
+# per-term logp rounded+DECIMAL before the sum so both engines accumulate
+# exactly (float sums are not associative across partition orders).
+QUERY_FNS["t_unigram_logprob"] = _t_unigram_fn
+ORACLES["t_unigram_logprob"] = _t_unigram_duck()
+
+
+_TOKEN_BUDGET = 1300  # splits sf0.01's 20 domains ~6 under / ~14 over, so the
+                      # window-bypass fast path AND the cumsum path both run
+
+
+def _t_token_budget_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import token_budget_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_budget_select(docs, budget=_TOKEN_BUDGET)
+
+
+def _t_token_budget_duck() -> str:
+    quality = _t_quality_duck().split("SELECT doc_id, ")[1].split(" AS quality FROM")[0]
+    ntok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        f"len({_TOKS_DUCK.format(x='text')}) END"
+    )
+    return f"""
+    WITH q AS (SELECT doc_id, source, {ntok} AS n_tokens, {quality} AS quality
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source
+                                     ORDER BY quality DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM q)
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM c WHERE cum <= {_TOKEN_BUDGET}"""
+
+
+# greedy per-domain token-budget selection (data-mixing recipe primitive):
+# rank by (quality DESC, id), keep while the running token total fits.
+QUERY_FNS["t_token_budget"] = _t_token_budget_fn
+ORACLES["t_token_budget"] = _t_token_budget_duck()
+
+
 _SEMDEDUP_CAP = 64  # max_cluster for the oracle-pinned query (guard EXERCISED
                     # at sf0.01's ~62-row average clusters, and load-bearing at
                     # the sf0.1 bench where the skewed k=8 blocks hit ~250 rows)

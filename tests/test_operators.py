@@ -716,3 +716,81 @@ def test_winnow_fingerprints_matches_reference_algorithm(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == ref(t), f"fingerprint drift on text {i}"
+
+
+def test_boilerplate_strip_per_domain(spark):
+    """Site-template rule: a line in >= min_docs DISTINCT docs of the SAME
+    domain is stripped everywhere (including its first occurrence, unlike
+    line_dedup); the same line under another domain is untouched; blank
+    lines never participate."""
+    from ocr_sam_project_spark.operators.curation import boilerplate_strip
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a.com", "cookie banner\nunique one"),
+            (2, "a.com", "Cookie   Banner\n\nunique two"),  # ws/case variant + blank
+            (3, "a.com", "cookie banner"),  # pure template -> ''
+            (4, "b.org", "cookie banner\nother site"),  # same line, other domain
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.doc_id: r for r in boilerplate_strip(docs, min_docs=2).collect()}
+    assert out[1].text == "unique one" and out[1].n_dropped == 1
+    assert out[2].text == "\nunique two"  # blank kept in place
+    assert out[3].text == "" and out[3].n_kept == 0 and out[3].n_dropped == 1
+    assert out[4].text == "cookie banner\nother site" and out[4].n_dropped == 0
+
+
+def test_unigram_logprob_orders_by_typicality(spark):
+    """Docs made of corpus-frequent tokens score higher (closer to 0) than
+    docs of hapaxes; token counts are exact; score is resume-stable."""
+    from ocr_sam_project_spark.operators.curation import unigram_logprob
+
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(1, common), (2, common), (3, common), (4, "zyx qwv gibberish")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert out[1].n_tokens == 6 and out[4].n_tokens == 3
+    assert out[1].avg_logprob == out[2].avg_logprob == out[3].avg_logprob
+    assert out[1].avg_logprob > out[4].avg_logprob  # typical >> gibberish
+    again = {r.doc_id: r.avg_logprob for r in unigram_logprob(docs).collect()}
+    assert again == {d: r.avg_logprob for d, r in out.items()}
+
+
+def test_token_budget_select_greedy_by_quality(spark):
+    """Over-budget domains keep the highest-quality prefix whose running
+    token total fits; under-budget domains pass through whole."""
+    from ocr_sam_project_spark.operators.curation import token_budget_select
+    from ocr_sam_project_spark.operators.textstats import quality_score
+    from pyspark.sql import functions as F
+
+    # big.com: 6 docs x 10 tokens, varying quality; small.org: 2 docs
+    rows = []
+    for i in range(6):
+        # longer text => higher quality length band; doc 0 longest
+        rows.append((i, "big.com", ("palabra de texto con la que el un es no " * (6 - i)).strip()))
+    rows += [(10, "small.org", "uno dos tres"), (11, "small.org", "cuatro cinco")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    q = {
+        r.doc_id: r.q
+        for r in docs.select("doc_id", quality_score(F.col("text")).alias("q")).collect()
+    }
+    ntok = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        ).collect()
+    }
+    budget = 25
+    out = token_budget_select(docs, budget=budget)
+    kept = {r.doc_id for r in out.collect()}
+    # expected: greedy over big.com by (quality desc, id), cumsum <= 25
+    order = sorted((d for d in q if d < 10), key=lambda d: (-q[d], d))
+    cum, expect = 0, set()
+    for d in order:
+        cum += ntok[d]
+        if cum <= budget:
+            expect.add(d)
+    assert kept == expect | {10, 11}  # small.org under budget: all kept
