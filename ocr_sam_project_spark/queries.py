@@ -2847,11 +2847,11 @@ _DRIVER_PRIORITY = [
     "pipeline_entities_parity",
     "pipeline_fields_parity",
     "pipeline_cedulas",
-    # dedup family (d_minhash_sig / d_simhash are subsumed in-window by the
-    # composites built on them; still pytest-oracle-verified below the fold)
+    # dedup family (d_minhash_sig / d_simhash / d_simhash_near_dups are
+    # subsumed in-window by the composites built directly on them; still
+    # pytest-oracle-verified below the fold)
     "d_lsh_clusters",
     "d_minhash_lsh_portable",
-    "d_simhash_near_dups",
     "d_simhash_clusters",
     "d_exact_dedup",
     "d_dedup_against_store",
@@ -2875,13 +2875,15 @@ _DRIVER_PRIORITY = [
     "t_mixture_sample",
     "t_pack_sequences",
     "t_winnow_fingerprint",
+    "t_boilerplate_strip",
+    "t_unigram_logprob",
+    "t_token_budget",
     # multimodal: opaque-binary fast path AND the real Arrow decode stage
     "m_binary_features",
     "m_media_features",
     # extraction operator families
     "x8_enrich_inject",
     "c1_classify",
-    "c2_priority",
     "x1_extract_cedula",
     "x3_validation_score",
     "x10_json_extract",
@@ -2894,7 +2896,6 @@ _DRIVER_PRIORITY = [
     "a1_monto_total",
     "a2_status_rollup",
     "q1_pricing_summary",
-    "a4_success_rate",
     "a8_percentiles",
     "a9_rollup",
     "w1_secuencia",
@@ -2905,6 +2906,9 @@ _DRIVER_PRIORITY = [
     "j5_asof_join",
     # --- 50-row window boundary: everything below still runs in the pytest
     # all-oracle parity gate ---
+    "d_simhash_near_dups",
+    "c2_priority",
+    "a4_success_rate",
     "w3_topk_per_group",
     "t_token_count",
     "t_repetition",
