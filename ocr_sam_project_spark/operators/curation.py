@@ -640,3 +640,163 @@ def token_budget_select(
         F.col("domain").alias(domain_col),
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+def intra_doc_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repeated-line removal — the RefinedWeb/MassiveText
+    within-document rule the two cross-document passes don't express:
+    inside EACH document, only the first occurrence of a line (by
+    canonical fingerprint) survives; later repeats are dropped.  Unlike
+    line_dedup (global first occurrence) and boilerplate_strip (per-domain
+    template kill) this needs no information from any other document.
+    Returns (id, text, n_kept, n_dropped); blank lines never participate
+    (all kept in place).
+
+    Scale shape (100 TB): ZERO shuffles — the whole operator is one
+    narrow projection using an `aggregate` fold over the line array
+    (seen-fingerprint set + surviving-line list per document), so it
+    pipelines inside the scan stage and costs no exchange at any corpus
+    size.  The fold's accumulator arrays are document-sized; for
+    pathological mega-documents (10^5+ lines) the O(L) seen-set probe per
+    line degrades to O(L^2) string compares — at that shape switch to the
+    explode + Window.partitionBy(id, lfp) form, which trades one id-hash
+    shuffle for linear work.  Reference parity: the reference has no
+    corpus- or document-level dedup at all (each Lambda invocation sees
+    one page); this is training-data plumbing the north_star needs."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def _fp(x):
+        return F.md5(normalize_for_fingerprint(x))
+
+    def _blank(x):
+        return F.length(F.trim(x)) == 0
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("seen"),
+        F.array().cast("array<string>").alias("out"),
+    )
+
+    def _merge(acc, x):
+        keep_blank = F.struct(
+            acc["seen"].alias("seen"),
+            F.concat(acc["out"], F.array(x)).alias("out"),
+        )
+        keep_new = F.struct(
+            F.concat(acc["seen"], F.array(_fp(x))).alias("seen"),
+            F.concat(acc["out"], F.array(x)).alias("out"),
+        )
+        return (
+            F.when(_blank(x), keep_blank)
+            .when(F.array_contains(acc["seen"], _fp(x)), acc)
+            .otherwise(keep_new)
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.aggregate(lines, init, _merge).alias("_acc"),
+        F.size(lines).alias("_n"),
+    ).select(
+        F.col(id_col),
+        F.array_join(F.col("_acc.out"), "\n").alias("text"),
+        F.size(F.col("_acc.out")).cast("long").alias("n_kept"),
+        (F.col("_n") - F.size(F.col("_acc.out"))).cast("long").alias("n_dropped"),
+    )
+
+
+# --------------------------------------------------------------------------
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): each corpus document is
+    scored by the mean per-token log importance ratio between a TARGET
+    sample's unigram distribution and the raw corpus's own —
+
+        delta(t) = ln((c_t(t)+1) / (T_t+V)) - ln((c_r(t)+1) / (T_r+V))
+
+    with add-one smoothing and V = |vocab(target) ∪ vocab(corpus)|.
+    High avg_logratio = "looks like the target domain"; sampling
+    proportional to exp(weight) is the paper's resampling step (see
+    mixture_sample for the frozen-coin sampler).  Returns
+    (id, n_tokens, avg_logratio); empty docs get NULL.
+
+    Cross-engine determinism: like unigram_logprob, per-term delta is
+    rounded to 6 dp and cast DECIMAL(18,6) BEFORE the per-doc sum so both
+    engines accumulate exactly regardless of partition order.
+
+    Scale shape (100 TB): one corpus scan into the (id, term) tf shuffle
+    (lazily checkpointed — it feeds both the raw-vocab branch and the
+    scoring join); the target sample is orders of magnitude smaller and
+    aggregates to a vocabulary-sized table; raw and target vocabularies
+    FULL-OUTER join term-to-term (both vocabulary-sized, not corpus-
+    sized), their totals fold to one broadcast row, and the finished
+    delta table broadcasts back onto tf.  No second corpus-wide
+    shuffle."""
+
+    def _terms(d):
+        return d.select(
+            F.explode(
+                F.split(normalize_for_fingerprint(F.col(text_col)), " ")
+            ).alias("term")
+        ).filter(F.col("term") != "")
+
+    tf = (
+        _terms_with_id(df, text_col, id_col)
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    vocab_r = tf.groupBy("term").agg(F.sum("tf").alias("c_r"))
+    vocab_t = _terms(target).groupBy("term").agg(F.count("*").alias("c_t"))
+    vocab = (
+        vocab_r.join(vocab_t, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("c_r", F.lit(0)).alias("c_r"),
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = vocab.agg(
+        F.sum("c_r").alias("_tr"), F.sum("c_t").alias("_tt"), F.count("*").alias("_v")
+    )
+    delta = vocab.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(
+            F.log((F.col("c_t") + 1.0) / (F.col("_tt") + F.col("_v")))
+            - F.log((F.col("c_r") + 1.0) / (F.col("_tr") + F.col("_v"))),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("_delta"),
+    )
+    scored = tf.join(F.broadcast(delta), "term").groupBy("id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("_delta")).alias("_sum_d"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.col("_sum_d").cast("double") / F.col("n_tokens"), 6
+            ).alias("avg_logratio"),
+        )
+    )
+
+
+def _terms_with_id(d: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return d.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_for_fingerprint(F.col(text_col)), " ")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")

@@ -663,3 +663,54 @@ def simhash_near_dups(
         .distinct()
     )
     return pairs
+
+
+def quality_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: where
+    resolve_clusters/dedup_keep keep the SMALLEST id (cheap, arbitrary),
+    a production corpus wants to keep the BEST document of each duplicate
+    group — the FineWeb/Dolma convention.  Resolves `pairs` to connected
+    components, scores every member with the frozen quality_score
+    formula, and elects per cluster the max-quality member (id ASC
+    tiebreak, so election is deterministic and resume-stable).  Returns
+    (cluster_id, keep_id, keep_quality, n_members) — one row per
+    multi-member cluster.
+
+    Scale shape (100 TB): the membership table out of resolve_clusters is
+    near-dup-sized (pair graph only), orders of magnitude below the
+    corpus; scoring joins it to the corpus on id (one hash-shuffle whose
+    probe side is the small membership set) and the election is a single
+    (min struct) aggregate with map-side partial combine — no window, no
+    sort.  The argmax is encoded as MIN(struct(-quality, id)): Spark and
+    any SQL twin order identically on the struct, and negating a
+    6-dp-rounded double is exact."""
+    from .textstats import quality_score
+
+    clusters = resolve_clusters(pairs)
+    q = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(quality_score(F.col(text_col)), 6).alias("_q"),
+    )
+    m = q.join(clusters, "doc_id")
+    return (
+        m.groupBy("canonical_id")
+        .agg(
+            F.min(F.struct((-F.col("_q")).alias("nq"), F.col("doc_id").alias("id"))).alias(
+                "_win"
+            ),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            F.col("canonical_id").alias("cluster_id"),
+            F.col("_win.id").alias("keep_id"),
+            # 0.0 - x (not unary minus) so a zero-quality winner yields +0.0,
+            # matching SQL twins that never produce -0.0
+            (F.lit(0.0) - F.col("_win.nq")).alias("keep_quality"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )

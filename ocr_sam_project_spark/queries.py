@@ -2743,6 +2743,160 @@ QUERY_FNS["t_token_budget"] = _t_token_budget_fn
 ORACLES["t_token_budget"] = _t_token_budget_duck()
 
 
+def _t_intra_doc_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal: both engines re-chunk the
+    canonical tokens into 12-token lines and graft the FIRST chunk again
+    at the end of every document (the "repeated intro/footer inside one
+    page" shape), so the rule provably bites in every row; organic
+    within-doc chunk repeats dedup too."""
+    from .operators.curation import intra_doc_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tk = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    n_lines = F.ceil(F.size(tk) / F.lit(_CHUNK)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(tk, i * _CHUNK + 1, _CHUNK), " "),
+    )
+    chunked = docs.select(
+        "doc_id",
+        F.array_join(
+            F.concat(lines_arr, F.slice(lines_arr, 1, 1)), "\n"
+        ).alias("text"),
+    )
+    return intra_doc_dedup(chunked)
+
+
+def _t_intra_doc_duck() -> str:
+    norm = _NORM_DUCK.format(x="text")
+    c = _CHUNK
+    return f"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS tk
+               FROM documents),
+    n AS (SELECT doc_id, tk, CAST(ceil(len(tk) / {c}.0) AS INT) AS nl FROM t),
+    l AS (SELECT doc_id, unnest(range(0, nl + 1)) AS pos, tk, nl FROM n),
+    lines AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                     array_to_string(
+                         tk[((pos % nl) * {c} + 1):((pos % nl) * {c} + {c})], ' '
+                     ) AS line
+              FROM l),
+    marked AS (SELECT doc_id, pos, line,
+                      length(trim(line)) = 0 AS blank,
+                      MIN(CASE WHEN length(trim(line)) > 0 THEN pos END)
+                        OVER (PARTITION BY doc_id,
+                                           md5({_NORM_DUCK.format(x='line')})
+                             ) AS fpos
+               FROM lines),
+    flagged AS (SELECT doc_id, pos, line, blank OR pos = fpos AS keep
+                FROM marked),
+    rebuilt AS (SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text,
+                       COUNT(*) AS n_kept
+                FROM flagged WHERE keep GROUP BY doc_id),
+    dropped AS (SELECT doc_id, COUNT(*) AS n_dropped
+                FROM flagged WHERE NOT keep GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(r.text, '') AS text,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(x.n_dropped, 0) AS BIGINT) AS n_dropped
+    FROM documents d
+    LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    LEFT JOIN dropped x ON x.doc_id = d.doc_id"""
+
+
+# within-document repeated-line removal (RefinedWeb/MassiveText rule):
+# zero-shuffle narrow fold; grafted end-repeat guarantees the rule fires.
+QUERY_FNS["t_intra_doc_dedup"] = _t_intra_doc_fn
+ORACLES["t_intra_doc_dedup"] = _t_intra_doc_duck()
+
+
+_DSIR_TARGET_LANG = "es"  # minority slice (73/500 docs at sf0.01) as target
+
+
+def _t_dsir_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(docs, docs.filter(F.col("lang") == _DSIR_TARGET_LANG))
+
+
+def _t_dsir_duck() -> str:
+    norm = _NORM_DUCK.format(x="text")
+    return f"""
+    WITH toks AS (SELECT doc_id AS id, lang,
+                         unnest(regexp_split_to_array({norm}, ' ')) AS term
+                  FROM documents),
+    t2 AS (SELECT id, lang, term FROM toks WHERE term <> ''),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM t2 GROUP BY id, term),
+    vr AS (SELECT term, SUM(tf) AS c_r FROM tf GROUP BY term),
+    vt AS (SELECT term, COUNT(*) AS c_t FROM t2
+           WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY term),
+    vocab AS (SELECT COALESCE(vr.term, vt.term) AS term,
+                     COALESCE(c_r, 0) AS c_r, COALESCE(c_t, 0) AS c_t
+              FROM vr FULL OUTER JOIN vt ON vr.term = vt.term),
+    tot AS (SELECT SUM(c_r) AS tr, SUM(c_t) AS tt, COUNT(*) AS v FROM vocab),
+    delta AS (SELECT term,
+                     CAST(ROUND(ln((c_t + 1.0) / (tot.tt + tot.v))
+                                - ln((c_r + 1.0) / (tot.tr + tot.v)), 6)
+                          AS DECIMAL(18,6)) AS d
+              FROM vocab CROSS JOIN tot),
+    scored AS (SELECT tf.id,
+                      CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                      SUM(tf.tf * delta.d) AS sum_d
+               FROM tf JOIN delta USING (term) GROUP BY tf.id)
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CASE WHEN s.n_tokens > 0
+                THEN ROUND(CAST(s.sum_d AS DOUBLE) / s.n_tokens, 6)
+           END AS avg_logratio
+    FROM documents d LEFT JOIN scored s ON s.id = d.doc_id"""
+
+
+# DSIR importance weights (target-vs-corpus unigram log ratio per doc);
+# per-term delta rounded+DECIMAL before the sum for exact accumulation.
+QUERY_FNS["t_dsir_weights"] = _t_dsir_fn
+ORACLES["t_dsir_weights"] = _t_dsir_duck()
+
+
+def _d_quality_canon_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical election over the SAME portable LSH pair
+    set d_lsh_clusters resolves: per duplicate cluster keep the
+    max-quality member (id tiebreak) instead of the smallest id."""
+    from .operators.dedup import minhash_near_dups, quality_canonical
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_near_dups(df, threshold=0.5, k=8, bands=4, fast=False)
+    return quality_canonical(df, pairs)
+
+
+def _d_quality_canon_duck() -> str:
+    quality = _t_quality_duck().split("SELECT doc_id, ")[1].split(" AS quality FROM")[0]
+    return f"""
+    WITH RECURSIVE base AS (SELECT id_a, id_b FROM ({_d_lsh_portable_duck()}) t),
+    edges AS (SELECT id_a AS a, id_b AS b FROM base
+              UNION SELECT id_b, id_a FROM base),
+    walk AS (
+        SELECT a AS id, a AS reach FROM edges
+        UNION
+        SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+    ),
+    clusters AS (SELECT id AS doc_id, MIN(reach) AS cluster_id
+                 FROM walk GROUP BY id),
+    q AS (SELECT doc_id, {quality} AS quality FROM documents)
+    SELECT c.cluster_id,
+           (array_agg(c.doc_id ORDER BY q.quality DESC, c.doc_id))[1] AS keep_id,
+           ROUND(MAX(q.quality), 6) AS keep_quality,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM clusters c JOIN q ON q.doc_id = c.doc_id
+    GROUP BY c.cluster_id"""
+
+
+# per-cluster best-quality canonical (FineWeb keep-the-best convention);
+# argmax encoded as MIN(struct(-q, id)) so both engines elect identically.
+QUERY_FNS["d_quality_canonical"] = _d_quality_canon_fn
+ORACLES["d_quality_canonical"] = _d_quality_canon_duck()
+
+
 _SEMDEDUP_CAP = 64  # max_cluster for the oracle-pinned query (guard EXERCISED
                     # at sf0.01's ~62-row average clusters, and load-bearing at
                     # the sf0.1 bench where the skewed k=8 blocks hit ~250 rows)

@@ -794,3 +794,78 @@ def test_token_budget_select_greedy_by_quality(spark):
         if cum <= budget:
             expect.add(d)
     assert kept == expect | {10, 11}  # small.org under budget: all kept
+
+
+def test_intra_doc_dedup_within_doc_only(spark):
+    """Repeats WITHIN a doc collapse to the first occurrence (normalization
+    variants too); the same line in ANOTHER doc is untouched; blank lines
+    all survive in place."""
+    from ocr_sam_project_spark.operators.curation import intra_doc_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world\nmiddle\nHello   World\nend"),  # variant repeat
+            (2, "hello world\nother"),  # cross-doc repeat: kept
+            (3, "a\n\n\na"),  # blanks kept, second 'a' dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in intra_doc_dedup(docs).collect()}
+    assert out[1].text == "hello world\nmiddle\nend"
+    assert out[1].n_kept == 3 and out[1].n_dropped == 1
+    assert out[2].text == "hello world\nother" and out[2].n_dropped == 0
+    assert out[3].text == "a\n\n" and out[3].n_kept == 3 and out[3].n_dropped == 1
+
+
+def test_dsir_weights_ranks_target_like_docs_higher(spark):
+    """Docs written in the target's vocabulary get a higher importance
+    ratio than docs in the out-of-target vocabulary; token counts exact;
+    deterministic across re-runs."""
+    from ocr_sam_project_spark.operators.curation import dsir_weights
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma"),  # target-like
+            (2, "zeta eta theta iota"),  # out-of-target
+            (3, ""),  # empty -> NULL score
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha beta")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dsir_weights(corpus, target).collect()}
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 4
+    assert out[1].avg_logratio > out[2].avg_logratio
+    assert out[3].n_tokens == 0 and out[3].avg_logratio is None
+    again = {r.doc_id: r.avg_logratio for r in dsir_weights(corpus, target).collect()}
+    assert again == {d: r.avg_logratio for d, r in out.items()}
+
+
+def test_quality_canonical_elects_best_member(spark):
+    """Per cluster the max-quality member wins (not the min id); exact
+    quality ties break by id ascending."""
+    from ocr_sam_project_spark.operators.dedup import quality_canonical
+
+    rich = (
+        "the quick brown fox and the lazy dog are in the house with a good plan "
+        * 4
+    ).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, "xq zv!!!"),  # low quality
+            (2, rich),  # best of cluster {1,2,3}
+            (3, "kj pq!!!"),
+            (10, "same text here"),  # tie pair: identical -> keep 10
+            (11, "same text here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.cluster_id: r for r in quality_canonical(docs, pairs).collect()}
+    assert set(out) == {1, 10}
+    assert out[1].keep_id == 2 and out[1].n_members == 3
+    assert out[10].keep_id == 10 and out[10].n_members == 2
+    assert out[1].keep_quality > out[10].keep_quality >= 0.0
