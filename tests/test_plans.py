@@ -352,3 +352,31 @@ def test_repetition_stats_is_narrow(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan and "HashAggregate" not in plan, plan
+
+
+def test_intra_doc_dedup_is_narrow(spark):
+    """intra_doc_dedup design point: the within-document fold is one
+    narrow projection — no Exchange, no Generate, no aggregate node —
+    so it pipelines inside the scan stage at any corpus size."""
+    from ocr_sam_project_spark.operators.curation import intra_doc_dedup
+
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('l1\nl2\nl1\n', id) AS text"
+    )
+    plan = _plan(intra_doc_dedup(df))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan and "HashAggregate" not in plan, plan
+
+
+def test_dsir_delta_table_broadcasts_onto_tf(spark):
+    """dsir_weights design point: the corpus tf table is scored via a
+    BROADCAST join with the vocabulary-sized delta table — the corpus
+    never reshuffles for scoring (the only corpus-wide exchanges are the
+    tf groupBy and the final doc-id join)."""
+    from ocr_sam_project_spark.operators.curation import dsir_weights
+
+    df = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('alpha beta gamma ', id) AS text"
+    )
+    plan = _plan(dsir_weights(df, df.limit(20)))
+    assert "BroadcastHashJoin" in plan, plan
