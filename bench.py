@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "t_decontaminate",
     "t_domain_cap",
     "t_pii_scrub",
+    "t_intra_doc_dedup",
+    "t_boilerplate_strip",
+    "t_unigram_logprob",
     "d_exact_dedup",
     "d_dedup_against_store",
     "d_url_dedup",
