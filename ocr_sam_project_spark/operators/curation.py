@@ -800,3 +800,74 @@ def _terms_with_id(d: DataFrame, text_col: str, id_col: str) -> DataFrame:
             "term"
         ),
     ).filter(F.col("term") != "")
+
+
+# --------------------------------------------------------------------------
+def dup_ngram_frac(
+    df: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """FineWeb-style duplicated-n-gram fraction: for each document, the
+    fraction of its word n-gram POSITIONS (with multiplicity, unlike the
+    distinct shingle sets minhash consumes) whose gram also occurs in at
+    least one OTHER document.  A high fraction marks templated / scraped
+    /near-copied text that survived whole-document dedup.  Returns
+    (id, n_grams, dup_grams, dup_frac); docs shorter than n tokens have
+    zero grams and NULL dup_frac.
+
+    Scale shape (100 TB): the token array is materialized once and grams
+    gather by O(1) element_at (the winnowing lesson); the per-gram
+    distinct-doc count is a two-level aggregate (distinct (gfp, id) then
+    count) with map-side partial combine, and the shared-gram set joins
+    back onto the gram stream as a gfp-keyed hash join — both sides
+    derive from the same explode and hash-partition on gfp, so AQE
+    coalesces rather than re-shuffles.  The shared set is NOT broadcast:
+    at web scale it is corpus-sized (every boilerplate gram), unlike
+    boilerplate_strip's above-threshold template set."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("_t"),
+    )
+    k = F.size(F.col("_t")) - (n - 1)
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), k - 1),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", *[F.element_at(F.col("_t"), i + j + 1) for j in range(n)]
+                        )
+                    ),
+                )
+            )
+        ).alias("gfp"),
+    ).localCheckpoint(eager=False)
+    shared = (
+        grams.distinct()
+        .groupBy("gfp")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("gfp")
+    )
+    per_doc = grams.join(shared, "gfp", "left_semi").groupBy("id").agg(
+        F.count("*").alias("dup_grams")
+    )
+    totals = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("dup_grams", F.lit(0)).cast("double") / F.col("n_grams"),
+                    6,
+                ),
+            ).alias("dup_frac"),
+        )
+    )

@@ -203,3 +203,76 @@ def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fp"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher rule-bank document filter (Rae et al. 2021, table A1) — the
+    classic heuristic battery quality_score doesn't express: word-count
+    band, mean word length band, symbol-to-word ratio, alphabetic-word
+    fraction, bullet/ellipsis line fractions, and the >=2-stopword
+    requirement, plus the composite `passes_gopher` verdict with the
+    published thresholds (50 <= words <= 100k, 3 <= mean_len <= 10,
+    symbols < 0.1, alpha > 0.8, bullets < 0.9, ellipsis < 0.3,
+    stopword hits >= 2).  Empty docs: zero counts, NULL ratios, fails.
+
+    Scale shape (100 TB): entirely narrow native codegen — one split per
+    row materialized ONCE into token/line arrays (the winnowing lesson:
+    anything referenced inside a HOF lambda re-evaluates per element),
+    every stat an array fold over them; no shuffle, no UDF.  All ratios
+    rounded to 6 dp so SQL twins compare the identical doubles."""
+    out = df.withColumn("_w", F.split(F.trim(F.col(text_col)), r"\s+")).withColumn(
+        "_wl", F.transform(F.col("_w"), lambda w: F.lower(w))
+    ).withColumn("_ln", F.split(F.col(text_col), "\n"))
+    n_words = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size("_w")).cast("long")
+    n_lines = F.size("_ln").cast("long")
+    # total non-ws chars / n_words — cheaper than a per-word length fold
+    char_sum = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+    alpha_words = F.size(F.filter(F.col("_w"), lambda w: w.rlike("[A-Za-z]")))
+    symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+    ) + F.size(F.expr(f"regexp_extract_all({text_col}, '(\\\\.\\\\.\\\\.|…)', 0)"))
+    bullet_lines = F.size(
+        F.filter(F.col("_ln"), lambda l: F.trim(l).rlike("^[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(F.col("_ln"), lambda l: F.trim(l).rlike("(\\.\\.\\.|…)$"))
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(F.col("_wl"), s),
+        )
+    )
+    nz = n_words > 0
+    mean_wl = F.when(nz, F.round(char_sum.cast("double") / n_words, 6))
+    sym_r = F.when(nz, F.round(symbols.cast("double") / n_words, 6))
+    alpha_f = F.when(nz, F.round(alpha_words.cast("double") / n_words, 6))
+    bullet_f = F.round(bullet_lines.cast("double") / n_lines, 6)
+    ellipsis_f = F.round(ellipsis_lines.cast("double") / n_lines, 6)
+    passes = (
+        nz
+        & n_words.between(50, 100_000)
+        & mean_wl.between(3.0, 10.0)
+        & (sym_r < 0.1)
+        & (alpha_f > 0.8)
+        & (bullet_f < 0.9)
+        & (ellipsis_f < 0.3)
+        & (stop_hits >= 2)
+    )
+    return out.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_r.alias("symbol_word_ratio"),
+        alpha_f.alias("alpha_word_frac"),
+        bullet_f.alias("bullet_line_frac"),
+        ellipsis_f.alias("ellipsis_line_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        F.coalesce(passes, F.lit(False)).alias("passes_gopher"),
+    )

@@ -2897,6 +2897,128 @@ QUERY_FNS["d_quality_canonical"] = _d_quality_canon_fn
 ORACLES["d_quality_canonical"] = _d_quality_canon_duck()
 
 
+def _t_gopher_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule bank: docs with doc_id % 3 == 0 get a bullet intro line
+    and a trailing ellipsis line grafted in BOTH engines so the line-level
+    rules provably fire; the rest run on raw text."""
+    from .operators.textstats import gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    decorated = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("- intro item\n"), F.col("text"), F.lit("\nto be continued...")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return gopher_rules(decorated)
+
+
+def _t_gopher_duck() -> str:
+    text = (
+        "CASE WHEN doc_id % 3 = 0 THEN '- intro item' || chr(10) || text"
+        " || chr(10) || 'to be continued...' ELSE text END"
+    )
+    from .operators.textstats import GOPHER_STOPWORDS
+
+    w = "regexp_split_to_array(trim(t.x), '\\s+')"
+    wl = f"list_transform({w}, s -> lower(s))"
+    lines = "string_split(t.x, chr(10))"
+    nw = f"CASE WHEN length(trim(t.x)) = 0 THEN 0 ELSE len({w}) END"
+    chars = "length(regexp_replace(trim(t.x), '\\s+', '', 'g'))"
+    alpha = f"len(list_filter({w}, s -> regexp_matches(s, '[A-Za-z]')))"
+    symbols = (
+        "(length(t.x) - length(replace(t.x, '#', '')))"
+        " + len(regexp_extract_all(t.x, '(\\.\\.\\.|…)'))"
+    )
+    bullets = f"len(list_filter({lines}, l -> regexp_matches(trim(l), '^[-*•]')))"
+    ellipsis = f"len(list_filter({lines}, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))"
+    stops = (
+        f"len(list_filter({list(GOPHER_STOPWORDS)}, s -> list_contains({wl}, s)))"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {text} AS x FROM documents),
+    s AS (SELECT doc_id,
+                 CAST({nw} AS BIGINT) AS n_words,
+                 CASE WHEN {nw} > 0
+                      THEN ROUND(CAST({chars} AS DOUBLE) / ({nw}), 6) END AS mean_word_len,
+                 CASE WHEN {nw} > 0
+                      THEN ROUND(CAST({symbols} AS DOUBLE) / ({nw}), 6) END AS symbol_word_ratio,
+                 CASE WHEN {nw} > 0
+                      THEN ROUND(CAST({alpha} AS DOUBLE) / ({nw}), 6) END AS alpha_word_frac,
+                 ROUND(CAST({bullets} AS DOUBLE) / len({lines}), 6) AS bullet_line_frac,
+                 ROUND(CAST({ellipsis} AS DOUBLE) / len({lines}), 6) AS ellipsis_line_frac,
+                 CAST({stops} AS BIGINT) AS stopword_hits
+          FROM t)
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_frac,
+           bullet_line_frac, ellipsis_line_frac, stopword_hits,
+           COALESCE(n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_word_ratio < 0.1
+                    AND alpha_word_frac > 0.8
+                    AND bullet_line_frac < 0.9
+                    AND ellipsis_line_frac < 0.3
+                    AND stopword_hits >= 2, FALSE) AS passes_gopher
+    FROM s"""
+
+
+# Gopher rule-bank filter (Rae et al. table A1) — every stat + the
+# composite verdict; fully narrow native codegen, no shuffle.
+QUERY_FNS["t_gopher_rules"] = _t_gopher_fn
+ORACLES["t_gopher_rules"] = _t_gopher_duck()
+
+
+_DUP_NGRAM_N = 5
+
+
+def _t_dup_ngram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import dup_ngram_frac
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dup_ngram_frac(docs, n=_DUP_NGRAM_N)
+
+
+def _t_dup_ngram_duck() -> str:
+    norm = _NORM_DUCK.format(x="text")
+    n = _DUP_NGRAM_N
+    return f"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS tk
+               FROM documents),
+    gi AS (SELECT doc_id, tk,
+                  unnest(range(0, CASE WHEN len(tk) >= {n}
+                                       THEN len(tk) - {n - 1} ELSE 0 END)) AS i
+           FROM t),
+    g AS (SELECT doc_id,
+                 md5(array_to_string(tk[(i + 1):(i + {n})], ' ')) AS gfp
+          FROM gi),
+    shared AS (SELECT gfp
+               FROM (SELECT DISTINCT doc_id, gfp FROM g)
+               GROUP BY gfp HAVING COUNT(*) >= 2),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+    dup AS (SELECT doc_id, COUNT(*) AS dup_grams FROM g
+            WHERE gfp IN (SELECT gfp FROM shared) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(t2.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(u.dup_grams, 0) AS BIGINT) AS dup_grams,
+           CASE WHEN COALESCE(t2.n_grams, 0) > 0
+                THEN ROUND(CAST(COALESCE(u.dup_grams, 0) AS DOUBLE) / t2.n_grams, 6)
+           END AS dup_frac
+    FROM documents d
+    LEFT JOIN tot t2 ON t2.doc_id = d.doc_id
+    LEFT JOIN dup u ON u.doc_id = d.doc_id"""
+
+
+# FineWeb duplicated-n-gram fraction (positions whose gram occurs in >=2
+# distinct docs); gram stream localCheckpointed once, shared set NOT
+# broadcast (corpus-sized at web scale).
+QUERY_FNS["t_dup_ngram_frac"] = _t_dup_ngram_fn
+ORACLES["t_dup_ngram_frac"] = _t_dup_ngram_duck()
+
+
 _SEMDEDUP_CAP = 64  # max_cluster for the oracle-pinned query (guard EXERCISED
                     # at sf0.01's ~62-row average clusters, and load-bearing at
                     # the sf0.1 bench where the skewed k=8 blocks hit ~250 rows)

@@ -869,3 +869,59 @@ def test_quality_canonical_elects_best_member(spark):
     assert out[1].keep_id == 2 and out[1].n_members == 3
     assert out[10].keep_id == 10 and out[10].n_members == 2
     assert out[1].keep_quality > out[10].keep_quality >= 0.0
+
+
+def test_gopher_rules_thresholds(spark):
+    """Composite verdict flips on each published rule: a clean 50+-word doc
+    passes; bullet-dominated, symbol-heavy, and sub-50-word docs fail on
+    their respective rule."""
+    from ocr_sam_project_spark.operators.textstats import gopher_rules
+
+    clean = (
+        "the quick brown fox jumps over that lazy dog and runs off to have "
+        "a rest with some friends be they near or far " * 3
+    ).strip()
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    symbols = "the " + "### " * 30 + "end to be have with that of and"
+    docs = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, bullets),
+            (3, symbols),
+            (4, "too short to have the words"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert out[1].passes_gopher and out[1].n_words >= 50
+    assert out[1].stopword_hits >= 2 and 3.0 <= out[1].mean_word_len <= 10.0
+    assert not out[2].passes_gopher and out[2].bullet_line_frac == 1.0
+    assert not out[3].passes_gopher and out[3].symbol_word_ratio > 0.1
+    assert not out[4].passes_gopher  # word-count band
+    assert out[5].n_words == 0 and out[5].mean_word_len is None
+    assert not out[5].passes_gopher
+
+
+def test_dup_ngram_frac_counts_positions_with_multiplicity(spark):
+    """A 5-gram shared across docs marks each of its POSITIONS (repeats in
+    the same doc count per occurrence); unique docs score 0; short docs
+    have no grams and a NULL frac."""
+    from ocr_sam_project_spark.operators.curation import dup_ngram_frac
+
+    shared = "uno dos tres cuatro cinco"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} seis"),  # grams: [1-5], [2-6] -> 1 shared
+            (2, f"{shared} {shared}"),  # 6 grams, incl. shared at 2 positions
+            (3, "alpha beta gamma delta epsilon zeta"),  # unique
+            (4, "too few"),  # < 5 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_ngram_frac(docs, n=5).collect()}
+    assert out[1].n_grams == 2 and out[1].dup_grams == 1
+    assert out[1].dup_frac == 0.5
+    assert out[2].n_grams == 6 and out[2].dup_grams >= 2  # both copies counted
+    assert out[3].dup_grams == 0 and out[3].dup_frac == 0.0
+    assert out[4].n_grams == 0 and out[4].dup_frac is None
