@@ -3108,6 +3108,267 @@ ORACLES["s_semantic_dedup"] = _s_semantic_dedup_duck(tau=0.35)
 
 
 # ===========================================================================
+# Web-graph family (operators/webgraph.py): link extraction from raw html,
+# host-graph edges/degrees, UT1-style blocklist, latest-snapshot url dedup.
+# Both engines synthesize the SAME closed-form html/urls from doc_id (the
+# established pages-from-documents pattern), so the regex extraction, host
+# resolution, and graph rollups are value-exact across engines.
+# ===========================================================================
+_G_URL = (
+    "concat('https://host', CAST(doc_id % 11 AS STRING), '.example.org/d/', "
+    "CAST(doc_id AS STRING))"
+)
+# anchors cover every kind the classifier knows: relative nav links, an
+# absolute cross-host article link (hosts mod 7 vs page hosts mod 11 -> a
+# real bipartite-ish host graph), a proto-relative CDN link, mailto, and a
+# fragment — all closed-form in doc_id.
+_G_HTML = (
+    "concat('<html><body><nav><a href=\"/inicio\">Inicio</a>"
+    "<a href=\"/seccion/', CAST(doc_id % 13 AS STRING), '\">Sección</a></nav>', "
+    "'<a href=\"https://host', CAST(doc_id % 7 AS STRING), '.example.org/art/', "
+    "CAST(doc_id AS STRING), '\">Artículo ', CAST(doc_id AS STRING), '</a>', "
+    "CASE WHEN doc_id % 3 = 0 THEN concat('<a href=\"//cdn', "
+    "CAST(doc_id % 5 AS STRING), '.example.net/l.js\">cdn</a>') ELSE '' END, "
+    "CASE WHEN doc_id % 4 = 0 THEN concat('<a href=\"mailto:u', "
+    "CAST(doc_id AS STRING), '@example.com\">correo</a>') ELSE '' END, "
+    "CASE WHEN doc_id % 6 = 0 THEN '<a href=\"#top\">subir</a>' ELSE '' END, "
+    "'</body></html>')"
+)
+_G_LINK_RE = '<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+_G_ABS_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+
+
+def _g_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", f"{_G_URL} AS url", f"CAST({_G_HTML} AS BINARY) AS html"
+    )
+
+
+# shared oracle CTE: pages -> one row per link with kind + resolved host,
+# mirroring webgraph._classify_href case-for-case.
+_G_LINKS_CTE = f"""
+    p AS (SELECT doc_id, {_G_URL} AS url, {_G_HTML} AS html FROM documents),
+    l AS (SELECT url,
+                 lower(regexp_extract(url, '{_G_ABS_RE}', 1)) AS src_host,
+                 regexp_extract_all(html, '{_G_LINK_RE}', 1) AS hrefs,
+                 regexp_extract_all(html, '{_G_LINK_RE}', 2) AS anchors
+          FROM p),
+    i AS (SELECT url, src_host, hrefs, anchors,
+                 unnest(range(0, len(hrefs))) AS i
+          FROM l),
+    x AS (SELECT url, src_host, CAST(i AS INT) AS link_no,
+                 hrefs[i + 1] AS href, anchors[i + 1] AS anchor,
+                 lower(regexp_extract(hrefs[i + 1],
+                       '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme
+          FROM i),
+    k AS (SELECT url, src_host, link_no, href, anchor,
+                 CASE WHEN href = '' OR starts_with(lower(href), '#')
+                        THEN 'fragment'
+                      WHEN scheme IN ('mailto', 'javascript', 'tel', 'data')
+                        THEN 'special'
+                      WHEN scheme IN ('http', 'https') THEN 'absolute'
+                      WHEN starts_with(lower(href), '//') THEN 'proto_relative'
+                      WHEN scheme <> '' THEN 'other_scheme'
+                      ELSE 'relative' END AS kind
+          FROM x),
+    links AS (SELECT url, src_host, link_no, href, anchor, kind,
+                     CASE WHEN kind = 'absolute'
+                            THEN nullif(lower(regexp_extract(href, '{_G_ABS_RE}', 1)), '')
+                          WHEN kind = 'proto_relative'
+                            THEN nullif(lower(regexp_extract(href, '^//([^/?#]+)', 1)), '')
+                          WHEN kind = 'relative' THEN nullif(src_host, '')
+                     END AS dst_host
+              FROM k)"""
+
+
+def _g_link_extract_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.webgraph import extract_links
+
+    return extract_links(_g_pages(spark, sf_dir))
+
+
+def _g_link_extract_duck() -> str:
+    return f"""
+    WITH {_G_LINKS_CTE}
+    SELECT url, link_no, href, anchor, kind, dst_host FROM links"""
+
+
+QUERY_FNS["g_link_extract"] = _g_link_extract_fn
+ORACLES["g_link_extract"] = _g_link_extract_duck()
+
+
+def _g_host_edges_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.webgraph import extract_links, host_edges
+
+    return host_edges(extract_links(_g_pages(spark, sf_dir)))
+
+
+def _g_host_edges_duck() -> str:
+    return f"""
+    WITH {_G_LINKS_CTE}
+    SELECT nullif(src_host, '') AS src_host, dst_host,
+           COUNT(*) AS n_links,
+           nullif(src_host, '') <> dst_host AS external
+    FROM links
+    WHERE kind IN ('absolute', 'proto_relative', 'relative')
+      AND dst_host IS NOT NULL AND nullif(src_host, '') IS NOT NULL
+    GROUP BY 1, 2"""
+
+
+QUERY_FNS["g_host_edges"] = _g_host_edges_fn
+ORACLES["g_host_edges"] = _g_host_edges_duck()
+
+
+def _g_host_degrees_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.webgraph import extract_links, host_degrees, host_edges
+
+    return host_degrees(host_edges(extract_links(_g_pages(spark, sf_dir))))
+
+
+def _g_host_degrees_duck() -> str:
+    return f"""
+    WITH {_G_LINKS_CTE},
+    e AS (SELECT nullif(src_host, '') AS src_host, dst_host,
+                 COUNT(*) AS n_links
+          FROM links
+          WHERE kind IN ('absolute', 'proto_relative', 'relative')
+            AND dst_host IS NOT NULL AND nullif(src_host, '') IS NOT NULL
+          GROUP BY 1, 2),
+    o AS (SELECT src_host AS host, COUNT(*) AS out_hosts,
+                 CAST(SUM(n_links) AS BIGINT) AS out_links
+          FROM e GROUP BY 1),
+    n AS (SELECT dst_host AS host, COUNT(*) AS in_hosts,
+                 CAST(SUM(n_links) AS BIGINT) AS in_links
+          FROM e GROUP BY 1)
+    SELECT COALESCE(o.host, n.host) AS host,
+           COALESCE(out_hosts, 0) AS out_hosts,
+           COALESCE(out_links, 0) AS out_links,
+           COALESCE(in_hosts, 0) AS in_hosts,
+           COALESCE(in_links, 0) AS in_links
+    FROM o FULL OUTER JOIN n ON o.host = n.host"""
+
+
+QUERY_FNS["g_host_degrees"] = _g_host_degrees_fn
+ORACLES["g_host_degrees"] = _g_host_degrees_duck()
+
+
+# blocklist: every 9th page lives on a subdomain of badhost.example (suffix
+# match must catch it) and host3.example.org is blocked exactly; the literal
+# 2-entry list lets the oracle express the suffix rule as =/LIKE terms.
+_G_BLOCK_URL = (
+    "CASE WHEN doc_id % 9 = 0 THEN concat('https://ads.tr', "
+    "CAST(doc_id % 3 AS STRING), '.badhost.example/p/', CAST(doc_id AS STRING)) "
+    f"ELSE {_G_URL} END"
+)
+
+
+def _g_blocklist_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.webgraph import blocklist_filter
+
+    pages = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", f"{_G_BLOCK_URL} AS url"
+    )
+    blocked = spark.createDataFrame(
+        [("badhost.example",), ("host3.example.org",)], "domain string"
+    )
+    return blocklist_filter(pages, blocked)
+
+
+def _g_blocklist_duck() -> str:
+    return f"""
+    WITH p AS (SELECT doc_id, {_G_BLOCK_URL} AS url FROM documents),
+    h AS (SELECT doc_id, url,
+                 lower(regexp_extract(url, '{_G_ABS_RE}', 1)) AS host
+          FROM p)
+    SELECT doc_id, url FROM h
+    WHERE NOT (host = 'badhost.example' OR host LIKE '%.badhost.example'
+               OR host = 'host3.example.org' OR host LIKE '%.host3.example.org')"""
+
+
+QUERY_FNS["g_blocklist"] = _g_blocklist_fn
+ORACLES["g_blocklist"] = _g_blocklist_duck()
+
+
+def _g_latest_snapshot_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot url dedup over the SAME 3-variants-per-page synth as
+    d_url_dedup, plus a closed-form warc_ts — the freshness convention
+    (max ts, id tiebreak) vs url_dedup's provenance convention (min id)."""
+    from .operators.webgraph import latest_snapshot_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    g = F.floor(d / 3).cast("bigint")
+    host = F.concat(F.lit("example"), (g % 20).cast("string"), F.lit(".com"))
+    base = F.concat(F.lit("/Articles/"), g.cast("string"))
+    url = (
+        F.when(d % 3 == 0, F.concat(F.lit("HTTPS://WWW."), F.upper(host), base))
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("https://www."), host, base,
+                F.lit("?utm_source=feed&utm_campaign=x&fbclid=abc"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://www."), host, base, F.lit("#section-2")))
+    )
+    ts = F.expr(
+        "timestamp'2025-01-01 00:00:00' + make_interval(0, 0, 0, "
+        "CAST(doc_id % 7 AS INT), CAST(doc_id % 24 AS INT), 0, 0)"
+    )
+    pages = docs.select("doc_id", url.alias("url"), ts.alias("warc_ts"))
+    return latest_snapshot_dedup(pages)
+
+
+def _g_latest_snapshot_duck() -> str:
+    # canon CTE shared verbatim with _d_url_dedup_duck (same rules)
+    return r"""
+    WITH p AS (
+        SELECT doc_id,
+               CASE doc_id % 3
+                 WHEN 0 THEN 'HTTPS://WWW.' || upper(host) || base
+                 WHEN 1 THEN 'https://www.' || host || base
+                          || '?utm_source=feed&utm_campaign=x&fbclid=abc'
+                 ELSE 'https://www.' || host || base || '#section-2'
+               END AS url,
+               TIMESTAMP '2025-01-01 00:00:00'
+                 + (doc_id % 7) * INTERVAL 1 DAY
+                 + (doc_id % 24) * INTERVAL 1 HOUR AS warc_ts
+        FROM (SELECT doc_id,
+                     'example' || CAST(CAST(floor(doc_id / 3.0) AS BIGINT) % 20 AS VARCHAR)
+                               || '.com' AS host,
+                     '/Articles/' || CAST(CAST(floor(doc_id / 3.0) AS BIGINT) AS VARCHAR) AS base
+              FROM documents)),
+    canon AS (
+        SELECT doc_id, warc_ts,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0))
+                             || substr(url, length(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) + 1),
+                           '#.*$', '', 'g'),
+                         '([?&])(utm_[a-zA-Z]+|fbclid)=[^&]*', '\1', 'g'),
+                       '\?&+', '?', 'g'),
+                     '&{2,}', '&', 'g'),
+                   '[?&]+$', '', 'g'),
+                 '([^/])/$', '\1', 'g') AS canonical_url
+        FROM p),
+    r AS (SELECT canonical_url, doc_id, warc_ts,
+                 ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                    ORDER BY warc_ts DESC, doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY canonical_url) AS n_snapshots
+          FROM canon)
+    SELECT canonical_url, doc_id AS keep_id, warc_ts AS keep_ts, n_snapshots
+    FROM r WHERE rn = 1"""
+
+
+QUERY_FNS["g_latest_snapshot"] = _g_latest_snapshot_fn
+ORACLES["g_latest_snapshot"] = _g_latest_snapshot_duck()
+
+
+# ===========================================================================
 # Driver-window ordering
 # ===========================================================================
 # The correctness driver records the FIRST 50 registered queries
@@ -3154,13 +3415,18 @@ _DRIVER_PRIORITY = [
     "t_boilerplate_strip",
     "t_unigram_logprob",
     "t_token_budget",
+    "t_gopher_rules",
+    "t_dup_ngram_frac",
+    # web-graph family (host degrees composes link-extract + edges; the
+    # blocklist row pins the broadcast suffix anti-join)
+    "g_host_degrees",
+    "g_blocklist",
     # multimodal: opaque-binary fast path AND the real Arrow decode stage
     "m_binary_features",
     "m_media_features",
     # extraction operator families
     "x8_enrich_inject",
     "c1_classify",
-    "x1_extract_cedula",
     "x3_validation_score",
     "x10_json_extract",
     "f1_validity_filter",
@@ -3171,17 +3437,20 @@ _DRIVER_PRIORITY = [
     # aggregates / windows / joins
     "a1_monto_total",
     "a2_status_rollup",
-    "q1_pricing_summary",
     "a8_percentiles",
     "a9_rollup",
-    "w1_secuencia",
     "w4_tumbling_window",
     "w5_sessionize",
-    "j1_equi_join",
     "j4_taxonomy_join",
     "j5_asof_join",
     # --- 50-row window boundary: everything below still runs in the pytest
-    # all-oracle parity gate ---
+    # all-oracle parity gate (x1's bank is in-window via pipeline_cedulas;
+    # q1/w1/j1 displaced by the gopher/dup-ngram/web-graph families, their
+    # agg/window/join shapes remain via a1-a9/w4-w5/j4-j5) ---
+    "x1_extract_cedula",
+    "q1_pricing_summary",
+    "w1_secuencia",
+    "j1_equi_join",
     "d_simhash_near_dups",
     "c2_priority",
     "a4_success_rate",

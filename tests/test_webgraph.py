@@ -1,0 +1,162 @@
+"""Web-graph operators: link extraction, host edges/degrees, blocklist
+filter, latest-snapshot url dedup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ocr_sam_project_spark.operators.webgraph import (
+    blocklist_filter,
+    domain_suffixes,
+    extract_links,
+    host_degrees,
+    host_edges,
+    host_of,
+    latest_snapshot_dedup,
+)
+
+HTML = (
+    '<html><body><header><a href="/nav">Inicio</a></header>'
+    '<p>cuerpo</p>'
+    '<a href="https://Other.Example.com/x?a=1">Artículo Uno</a>'
+    '<a href="//cdn.example.net/lib.js">cdn</a>'
+    '<a href="mailto:a@b.com">correo</a>'
+    '<a href="#top">subir</a>'
+    '<a href="ftp://files.example.org/f">ftp</a>'
+    "<a href='single.html'>single-quoted (out of contract)</a>"
+    '<a href="rel/page.html">relativo</a>'
+    "</body></html>"
+)
+
+
+def _one_page(spark):
+    return spark.createDataFrame(
+        [("https://WWW.Site.example/path/a", bytearray(HTML.encode("utf-8")))],
+        "url string, html binary",
+    )
+
+
+def test_extract_links_kinds_and_hosts(spark):
+    rows = {
+        r["href"]: r
+        for r in extract_links(_one_page(spark)).collect()
+    }
+    # single-quoted href is out of contract: 7 double-quoted anchors
+    assert len(rows) == 7
+    assert rows["/nav"]["kind"] == "relative"
+    assert rows["/nav"]["dst_host"] == "www.site.example"
+    art = rows["https://Other.Example.com/x?a=1"]
+    assert art["kind"] == "absolute"
+    assert art["dst_host"] == "other.example.com"  # lowered, path stripped
+    assert art["anchor"] == "Artículo Uno"
+    assert rows["//cdn.example.net/lib.js"]["kind"] == "proto_relative"
+    assert rows["//cdn.example.net/lib.js"]["dst_host"] == "cdn.example.net"
+    assert rows["mailto:a@b.com"]["kind"] == "special"
+    assert rows["mailto:a@b.com"]["dst_host"] is None
+    assert rows["#top"]["kind"] == "fragment"
+    assert rows["ftp://files.example.org/f"]["kind"] == "other_scheme"
+    assert rows["ftp://files.example.org/f"]["dst_host"] is None
+    # document order preserved
+    assert rows["/nav"]["link_no"] == 0
+    assert rows["rel/page.html"]["link_no"] == 6
+
+
+def test_host_edges_and_degrees(spark):
+    links = extract_links(_one_page(spark))
+    edges = {
+        (r["src_host"], r["dst_host"]): r for r in host_edges(links).collect()
+    }
+    # relative links (x2) self-edge + two external hosts
+    assert edges[("www.site.example", "www.site.example")]["n_links"] == 2
+    assert edges[("www.site.example", "www.site.example")]["external"] is False
+    assert edges[("www.site.example", "other.example.com")]["external"] is True
+    assert len(edges) == 3
+    deg = {r["host"]: r for r in host_degrees(host_edges(links)).collect()}
+    assert deg["www.site.example"]["out_hosts"] == 3
+    assert deg["www.site.example"]["out_links"] == 4
+    assert deg["www.site.example"]["in_hosts"] == 1  # its own self-edge
+    assert deg["cdn.example.net"]["out_hosts"] == 0
+    assert deg["cdn.example.net"]["in_links"] == 1
+
+
+def test_domain_suffixes(spark):
+    out = (
+        spark.range(1)
+        .select(domain_suffixes(F.lit("ads.tracker.bad.example")).alias("s"))
+        .first()["s"]
+    )
+    assert out == [
+        "ads.tracker.bad.example",
+        "tracker.bad.example",
+        "bad.example",
+    ]
+    # single-label and empty hosts produce no suffixes
+    assert (
+        spark.range(1).select(domain_suffixes(F.lit("localhost")).alias("s")).first()["s"]
+        == []
+    )
+    assert (
+        spark.range(1).select(domain_suffixes(F.lit("")).alias("s")).first()["s"] == []
+    )
+
+
+def test_blocklist_filter_suffix_semantics(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, "https://ads.bad.example/x"),  # blocked via parent domain
+            (2, "https://bad.example/y"),  # blocked exactly
+            (3, "https://good.example/z"),  # kept
+            (4, "https://notbad.example/w"),  # kept — label, not substring, match
+            (5, "relative-no-host"),  # kept — no parseable host
+        ],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame([("bad.example",)], "domain string")
+    kept = sorted(
+        r["doc_id"] for r in blocklist_filter(pages, blocked).collect()
+    )
+    assert kept == [3, 4, 5]
+
+
+def test_blocklist_filter_no_corpus_exchange(spark):
+    pages = spark.createDataFrame(
+        [(1, "https://a.example/x")], "doc_id long, url string"
+    )
+    blocked = spark.createDataFrame([("bad.example",)], "domain string")
+    plan = blocklist_filter(pages, blocked)._jdf.queryExecution().executedPlan().toString()
+    # both joins broadcast: the only allowed exchanges are broadcast ones
+    import re
+
+    assert not re.search(r"Exchange (hash|range|SinglePartition)", plan), plan
+
+
+def test_latest_snapshot_dedup_keeps_max_ts(spark):
+    t = dt.datetime(2025, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.example/p?utm_source=x", t),
+            (2, "https://a.example/p", t + dt.timedelta(days=3)),
+            (3, "https://A.example/p#frag", t + dt.timedelta(days=3)),  # ts tie -> min id
+            (4, "https://b.example/q", t),
+        ],
+        "doc_id long, url string, warc_ts timestamp",
+    )
+    out = {r["canonical_url"]: r for r in latest_snapshot_dedup(pages).collect()}
+    a = out["https://a.example/p"]
+    assert a["keep_id"] == 2 and a["n_snapshots"] == 3
+    assert a["keep_ts"] == t + dt.timedelta(days=3)
+    assert out["https://b.example/q"]["keep_id"] == 4
+
+
+def test_host_of_ports_and_case(spark):
+    vals = (
+        spark.createDataFrame(
+            [("HTTPS://Host.Example:8443/p?q#f",), ("no-scheme/path",)], "u string"
+        )
+        .select(host_of(F.col("u")).alias("h"))
+        .collect()
+    )
+    assert vals[0]["h"] == "host.example:8443"
+    assert vals[1]["h"] == ""
