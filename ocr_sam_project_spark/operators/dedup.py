@@ -212,30 +212,9 @@ def minhash_lsh_candidates(
 
     fast=False switches the signatures to the md5-portable hash so the whole
     banded pipeline has an exact DuckDB oracle twin."""
-    r = k // bands
     sig = minhash_signatures(df, text_col, id_col, k, fast=fast)
-    if fast:
-        # native fixed-width bucket id: xxhash64 over the band's r sig
-        # values — no per-band string building (the md5(concat_ws(...))
-        # form exists only for the DuckDB-portable twin)
-        bucket_of = lambda b: F.xxhash64(  # noqa: E731
-            F.lit(b), *[F.col("sig")[b * r + j] for j in range(r)]
-        ).cast("string")
-    else:
-        bucket_of = lambda b: F.md5(  # noqa: E731
-            F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])
-        )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # bucket id per band: xxhash64 slice (fast) / md5 concat (portable twin)
+    banded = _banded(sig, k, bands, fast).select("id", "band", "bucket")
     ok = (
         banded.groupBy("band", "bucket")
         .agg(F.count("*").alias("n"), F.collect_list("id").alias("ids"))
@@ -503,6 +482,127 @@ def dedup_against_store(
     return batch_kept.join(
         fp_store.select(F.col("fp").alias("_fp")), "_fp", "left_anti"
     ).drop("_fp")
+
+
+def _banded(sig_df: DataFrame, k: int, bands: int, fast: bool) -> DataFrame:
+    """(id, band, bucket) rows from a (id, sig) signature table — the LSH
+    banding step shared by in-batch candidates and the cross-run store
+    probe.  fast=True buckets with xxhash64 over the band slice (fixed
+    width, no strings); fast=False with md5(concat_ws) — the DuckDB-twin
+    form."""
+    r = k // bands
+    if fast:
+        bucket_of = lambda b: F.xxhash64(  # noqa: E731
+            F.lit(b), *[F.col("sig")[b * r + j] for j in range(r)]
+        ).cast("string")
+    else:
+        bucket_of = lambda b: F.md5(  # noqa: E731
+            F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])
+        )
+    return sig_df.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def near_store_matches(
+    new_df: DataFrame,
+    store_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = N_HASHES,
+    bands: int = N_BANDS,
+    sim_threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
+    fast: bool = True,
+) -> DataFrame:
+    """NEAR-dup matches of a new crawl against the PERSISTED signature
+    store — the MinHash analog of dedup_against_store's exact-fp tier:
+    re-crawled pages whose text drifted (new timestamp banner, reordered
+    boilerplate) and therefore beat the exact tier are still caught here.
+
+    store_sigs is (id, sig array<bigint>) from minhash_signatures, appended
+    per run like corpus_fingerprints.  Returns (id, store_id, est_jaccard)
+    — every store doc whose ESTIMATED Jaccard (fraction of agreeing
+    signature components, the standard MinHash estimator) reaches
+    sim_threshold, via shared LSH band buckets.  Deterministic and fully
+    SQL-expressible (exact DuckDB twin on the portable hash path).
+
+    Scale shape (100 TB store): the store keeps its banded bucket table
+    persisted AND BUCKETED by (band, bucket) (sources.bucketing), so the
+    probe shuffles only the NEW batch's banded rows (bands x |new| rows,
+    integers + a 32-char bucket key); the store never moves.  Store buckets
+    larger than max_bucket are dropped before the join — one boilerplate
+    bucket cannot fan a probe row out 10^6 ways (same cap²-memory reasoning
+    as MAX_BUCKET/MAX_SIMHASH_BUCKET).  The signature-agreement verify
+    joins store sigs back by store_id — broadcast-sized per probe batch in
+    the normal (<1% re-crawl-drift) regime."""
+    from pyspark.sql import Window
+
+    sig_new = minhash_signatures(new_df, text_col, id_col, k, fast=fast)
+    new_banded = _banded(sig_new, k, bands, fast)
+    store_banded = _banded(
+        store_sigs.select(F.col("id"), F.col("sig")), k, bands, fast
+    )
+    ok_store = store_banded.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("band", "bucket"))
+    )
+    cand = (
+        new_banded.alias("n")
+        .join(
+            ok_store.filter(F.col("_n") <= max_bucket).alias("s"),
+            (F.col("n.band") == F.col("s.band")) & (F.col("n.bucket") == F.col("s.bucket")),
+        )
+        .select(
+            F.col("n.id").alias("id"),
+            F.col("s.id").alias("store_id"),
+            F.col("n.sig").alias("_sa"),
+            F.col("s.sig").alias("_sb"),
+        )
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = F.round(agree.cast("double") / F.lit(float(k)), 6)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= sim_threshold)
+        .select("id", "store_id", "est_jaccard")
+    )
+
+
+def near_dedup_against_store(
+    new_df: DataFrame,
+    store_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = N_HASHES,
+    bands: int = N_BANDS,
+    sim_threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
+    fast: bool = True,
+) -> DataFrame:
+    """Survivors of new_df after dropping every doc that near-matches the
+    persisted signature store (see near_store_matches).  Composes with the
+    exact tier: run dedup_against_store first (cheap md5 anti-join), then
+    this on what remains; append minhash_signatures(survivors) to the store
+    after the run.  One anti-join on id — the matches side is the (small)
+    dropped set, broadcast back like blocklist_filter's hit set."""
+    dropped = near_store_matches(
+        new_df, store_sigs, text_col, id_col, k, bands, sim_threshold, max_bucket, fast
+    ).select(F.col("id").alias(id_col))
+    return new_df.join(F.broadcast(dropped), id_col, "left_anti")
 
 
 # --------------------------------------------------------------------------

@@ -3108,6 +3108,110 @@ ORACLES["s_semantic_dedup"] = _s_semantic_dedup_duck(tau=0.35)
 
 
 # ===========================================================================
+# Cross-run NEAR-dup dedup against a persisted MinHash signature store —
+# the near-dup analog of d_dedup_against_store's exact tier: re-crawled
+# pages whose text DRIFTED (and so beat the exact-fp anti-join) are caught
+# by LSH band buckets + the signature-agreement Jaccard estimator.  Store =
+# docs with doc_id % 3 == 0 (the simulated prior crawl), probe = the rest;
+# portable md5 hash path so every step has an exact DuckDB twin.
+# ===========================================================================
+_NS_K, _NS_BANDS, _NS_TH = 8, 4, 0.5
+
+
+def _near_store_parts(spark: SparkSession, sf_dir: str):
+    from .operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    new_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    store_sigs = minhash_signatures(store_docs, k=_NS_K, fast=False)
+    return new_docs, store_sigs
+
+
+def _d_near_store_matches_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_store_matches
+
+    new_docs, store_sigs = _near_store_parts(spark, sf_dir)
+    return near_store_matches(
+        new_docs, store_sigs, k=_NS_K, bands=_NS_BANDS,
+        sim_threshold=_NS_TH, fast=False,
+    )
+
+
+def _near_store_duck(max_bucket: int = 64) -> str:
+    k, bands = _NS_K, _NS_BANDS
+    r = k // bands
+    h = lambda i: _H_DUCK.format(x=f"concat('{i}|', s)")  # noqa: E731
+    sig_cols = ", ".join(
+        f"list_min(list_transform(shl, s -> {h(i)})) AS h{i}" for i in range(k)
+    )
+    band_rows = lambda src: " UNION ALL ".join(  # noqa: E731
+        "SELECT id, {b} AS band, md5(concat_ws(',', {parts})) AS bucket, "
+        "{hs} FROM {src}".format(
+            b=b,
+            parts=", ".join(f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)),
+            hs=", ".join(f"h{i}" for i in range(k)),
+            src=src,
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN n.h{i} = s.h{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+    sh AS (SELECT doc_id AS id, doc_id % 3 = 0 AS in_store,
+                  {_shingles_duck()} AS shl FROM documents),
+    sig AS (SELECT id, in_store, {sig_cols} FROM sh),
+    nb AS ({band_rows("(SELECT * FROM sig WHERE NOT in_store) tn")}),
+    sb AS ({band_rows("(SELECT * FROM sig WHERE in_store) ts")}),
+    okb AS (SELECT id, band, bucket FROM
+              (SELECT id, band, bucket,
+                      COUNT(*) OVER (PARTITION BY band, bucket) AS n FROM sb)
+            WHERE n <= {max_bucket}),
+    cand AS (SELECT DISTINCT n.id AS id, o.id AS store_id
+             FROM nb n JOIN okb o ON n.band = o.band AND n.bucket = o.bucket),
+    m AS (SELECT c.id, c.store_id,
+                 ROUND(({agree}) / {float(k)}, 6) AS est_jaccard
+          FROM cand c
+          JOIN sig n ON n.id = c.id
+          JOIN sig s ON s.id = c.store_id)
+    """
+
+
+def _d_near_store_matches_duck() -> str:
+    return f"""
+    WITH {_near_store_duck()}
+    SELECT id, store_id, est_jaccard FROM m WHERE est_jaccard >= {_NS_TH}"""
+
+
+QUERY_FNS["d_near_store_matches"] = _d_near_store_matches_fn
+ORACLES["d_near_store_matches"] = _d_near_store_matches_duck()
+
+
+def _d_near_dedup_store_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_dedup_against_store
+
+    new_docs, store_sigs = _near_store_parts(spark, sf_dir)
+    out = near_dedup_against_store(
+        new_docs, store_sigs, k=_NS_K, bands=_NS_BANDS,
+        sim_threshold=_NS_TH, fast=False,
+    )
+    return out.select("doc_id")
+
+
+def _d_near_dedup_store_duck() -> str:
+    return f"""
+    WITH {_near_store_duck()}
+    SELECT doc_id FROM documents
+    WHERE doc_id % 3 <> 0
+      AND doc_id NOT IN (SELECT id FROM m WHERE est_jaccard >= {_NS_TH})"""
+
+
+QUERY_FNS["d_near_dedup_store"] = _d_near_dedup_store_fn
+ORACLES["d_near_dedup_store"] = _d_near_dedup_store_duck()
+
+
+# ===========================================================================
 # Web-graph family (operators/webgraph.py): link extraction from raw html,
 # host-graph edges/degrees, UT1-style blocklist, latest-snapshot url dedup.
 # Both engines synthesize the SAME closed-form html/urls from doc_id (the

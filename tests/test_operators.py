@@ -322,6 +322,87 @@ def test_dedup_against_store_drops_recrawled_dups(spark, tmp_path):
     assert replay == {"u8"}  # empties always pass with their own provenance
 
 
+def test_near_dedup_against_store_catches_drifted_recrawl(spark, tmp_path):
+    """The near-dup store tier catches what the exact-fp tier CANNOT: a
+    re-crawled page whose text drifted (one token changed), while genuinely
+    new text passes.  Also: appending the survivors' signatures makes a
+    replay of the drifted page drop (incremental store semantics)."""
+    from ocr_sam_project_spark.operators.dedup import (
+        dedup_against_store,
+        corpus_fingerprints,
+        minhash_signatures,
+        near_dedup_against_store,
+    )
+
+    base = " ".join(f"palabra{i} contenido{i % 7} judicial{i % 5}" for i in range(40))
+    run1 = spark.createDataFrame(
+        [(1, base), (2, "otro documento totalmente distinto con su propio texto")],
+        "doc_id long, text string",
+    )
+    sig_path = str(tmp_path / "sig_store")
+    minhash_signatures(run1, k=8, fast=False).write.parquet(sig_path)
+
+    drifted = base.replace("palabra3 ", "PALABRA3-editada ")  # exactly 1 token
+    run2 = spark.createDataFrame(
+        [
+            (10, drifted),  # near-dup of run1's doc 1 — exact fp differs
+            (11, "texto fresco sin parecido alguno con la tienda previa "
+                 "ni con nada anterior en el corpus de prueba"),
+        ],
+        "doc_id long, text string",
+    )
+    # exact tier does NOT catch the drift
+    fp_store = corpus_fingerprints(run1)
+    exact_kept = {r.doc_id for r in dedup_against_store(run2, fp_store).collect()}
+    assert exact_kept == {10, 11}
+    # near tier does
+    kept = {
+        r.doc_id
+        for r in near_dedup_against_store(
+            run2, spark.read.parquet(sig_path), k=8, bands=4,
+            sim_threshold=0.5, fast=False,
+        ).collect()
+    }
+    assert kept == {11}
+    # append survivors' signatures; replay drops the fresh doc too
+    minhash_signatures(
+        run2.filter(F.col("doc_id").isin(list(kept))), k=8, fast=False
+    ).write.mode("append").parquet(sig_path)
+    replay = {
+        r.doc_id
+        for r in near_dedup_against_store(
+            run2, spark.read.parquet(sig_path), k=8, bands=4,
+            sim_threshold=0.5, fast=False,
+        ).collect()
+    }
+    assert replay == set()
+
+
+def test_near_store_matches_bucket_cap_bounds_fanout(spark):
+    """A degenerate store (hundreds of identical docs -> one bucket per
+    band) must NOT fan a probe row out store-wide: with the bucket over the
+    cap the probe returns zero matches instead of n_store candidates."""
+    from ocr_sam_project_spark.operators.dedup import (
+        minhash_signatures,
+        near_store_matches,
+    )
+
+    same = "texto repetido de plantilla judicial identica en cada pagina"
+    store_docs = spark.createDataFrame(
+        [(i, same) for i in range(100)], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame([(1000, same)], "doc_id long, text string")
+    sigs = minhash_signatures(store_docs, k=8, fast=False)
+    capped = near_store_matches(
+        probe, sigs, k=8, bands=4, sim_threshold=0.5, max_bucket=64, fast=False
+    )
+    assert capped.count() == 0
+    uncapped = near_store_matches(
+        probe, sigs, k=8, bands=4, sim_threshold=0.5, max_bucket=1000, fast=False
+    )
+    assert uncapped.count() == 100
+
+
 def test_simhash_banding_exact_recall(spark):
     """Pigeonhole banding must find EVERY hamming<=k pair — including pairs
     whose differing bits sit in the top byte, which the old single-high-byte
