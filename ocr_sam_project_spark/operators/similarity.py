@@ -588,3 +588,123 @@ def semantic_dedup(
         .select(F.col("doc_id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+def _kmeans_assign(
+    df: DataFrame,
+    cids: "np.ndarray",
+    C: "np.ndarray",
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One Lloyd assignment pass: (id, cluster_id, sim) — argmax ROUNDED
+    cosine against the centroid matrix C (dim x k, columns in ascending-cid
+    order), smallest cid wins ties (argmax takes the first max).  Same
+    narrow Arrow-matmul shape as ivf_assign: no join, no window."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .skew import spread_scan
+
+    cnorm = np.sqrt((C * C).sum(axis=0))
+
+    @pandas_udf("cluster_id long, sim double")
+    def _assign(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cluster_id": [], "sim": []})
+        m = np.vstack(v.to_numpy()).astype(np.float64)
+        vnorm = np.sqrt((m * m).sum(axis=1))
+        sims = _round6_half_away((m @ C) / (vnorm[:, None] * cnorm[None, :]))
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {"cluster_id": cids[best], "sim": sims[np.arange(len(best)), best]}
+        )
+
+    out = spread_scan(df).withColumn("_a", _assign(F.col(vec_col)))
+    return out.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_a.cluster_id").alias("cluster_id"),
+        F.col("_a.sim").alias("sim"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means (Lloyd) with DETERMINISTIC everything — the
+    corpus-clustering primitive under SemDeDup / cluster-balanced mixture
+    sampling, and the iterative-algorithm showcase (the reference has no
+    corpus pass at all; Spark MLlib's KMeans is RNG-seeded and RDD-based,
+    so this is the DataFrame-native, oracle-checkable rebuild).
+
+    * init: ivf_centroids — the k vectors with smallest md5-hash64(id), a
+      frozen sample; cluster identity = the INITIAL centroid's vec_id and
+      stays stable across iterations.
+    * assign: argmax 6-dp-rounded cosine, smallest-cid tie-break (exactly
+      ivf_assign's parity contract).
+    * update: per-dimension mean with elements ROUND(x,6)::DECIMAL(18,6)
+      summed EXACTLY (associative — partition order cannot change the
+      result) then CAST(sum AS DOUBLE)/count.  Spherical: the mean is NOT
+      renormalized — cosine is scale-invariant, so normalization would buy
+      nothing and cost one more rounding site.
+    * empty cluster: keeps its previous centroid (standard Lloyd fallback),
+      deterministic on both engines.
+
+    Scale shape (10^9+ vectors): per iteration ONE narrow Arrow pass for
+    assignment plus ONE groupBy(cluster) with dim partial-SUM aggregates —
+    map-side combine reduces the shuffle to k x P partial rows (k*dim
+    decimals each), and the driver materializes only the k x dim centroid
+    matrix (the same bounded-metadata collect MLlib does).  iters is fixed
+    (no data-dependent convergence test) so the plan is a static chain —
+    resumable and oracle-expressible.
+
+    Returns (assignments DataFrame (id, cluster_id, sim), centroids dict
+    cid -> list[float])."""
+    cent_rows = ivf_centroids(df, k, id_col, vec_col)
+    if not cent_rows:
+        empty = df.select(
+            F.col(id_col),
+            F.lit(None).cast("bigint").alias("cluster_id"),
+            F.lit(None).cast("double").alias("sim"),
+        )
+        return empty, {}
+    order = sorted(range(len(cent_rows)), key=lambda i: int(cent_rows[i].cid))
+    cids = np.asarray([int(cent_rows[i].cid) for i in order], dtype=np.int64)
+    cent = {
+        int(r.cid): [float(x) for x in r.cvec] for r in cent_rows
+    }
+    dim = len(next(iter(cent.values())))
+
+    for _ in range(iters):
+        C = np.vstack([cent[int(c)] for c in cids]).T  # (dim, k)
+        assigned = _kmeans_assign(df, cids, C, id_col, vec_col)
+        sums = (
+            assigned.groupBy("cluster_id")
+            .agg(
+                F.count("*").alias("_n"),
+                *[
+                    F.sum(
+                        F.round(F.element_at(F.col(vec_col), i + 1).cast("double"), 6)
+                        .cast("decimal(18,6)")
+                    ).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()  # k rows — bounded metadata, like ivf_centroids
+        )
+        for r in sums:
+            n = int(r["_n"])
+            cent[int(r["cluster_id"])] = [
+                float(r[f"_s{i}"]) / n for i in range(dim)
+            ]
+
+    C = np.vstack([cent[int(c)] for c in cids]).T
+    final = _kmeans_assign(df, cids, C, id_col, vec_col).select(
+        id_col, "cluster_id", "sim"
+    )
+    return final, cent

@@ -3108,6 +3108,66 @@ ORACLES["s_semantic_dedup"] = _s_semantic_dedup_duck(tau=0.35)
 
 
 # ===========================================================================
+# Spherical k-means (Lloyd, fixed iterations) — the corpus-clustering
+# primitive under SemDeDup / cluster-balanced sampling, fully deterministic
+# (frozen md5-sample init, 6-dp rounded cosine + cid tie-break, decimal-
+# exact per-dim means), so even the ITERATIVE algorithm has an exact SQL
+# twin: the oracle unrolls assign->update per iteration as chained CTEs.
+# ===========================================================================
+_KM_K, _KM_ITERS, _KM_DIM = 4, 2, 64
+
+
+def _s_kmeans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_fit
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, _cent = kmeans_fit(df, k=_KM_K, iters=_KM_ITERS)
+    return assigned
+
+
+def _s_kmeans_duck(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM) -> str:
+    cos = (
+        "ROUND(list_dot_product(e.ea, c.ca) / (sqrt(list_dot_product(e.ea, e.ea))"
+        " * sqrt(list_dot_product(c.ca, c.ca))), 6)"
+    )
+
+    def assign(t: int, name: str) -> str:
+        return f"""
+    {name} AS (SELECT vec_id, cid, sim FROM (
+        SELECT vec_id, cid, sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cid ASC) AS rk
+        FROM (SELECT e.vec_id, c.cid, {cos} AS sim
+              FROM e CROSS JOIN cent{t} c) s) t WHERE rk = 1)"""
+
+    def update(t: int) -> str:
+        return f"""
+    u{t} AS (SELECT cid, i,
+                    CAST(SUM(CAST(ROUND(ea[i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(*) AS m
+             FROM (SELECT a.cid, e.ea, unnest(range(1, {dim + 1})) AS i
+                   FROM a{t} a JOIN e ON e.vec_id = a.vec_id)
+             GROUP BY cid, i),
+    cent{t + 1} AS (SELECT c.cid, COALESCE(m.ca, c.ca) AS ca
+                    FROM cent{t} c
+                    LEFT JOIN (SELECT cid, list(m ORDER BY i) AS ca
+                               FROM u{t} GROUP BY cid) m ON m.cid = c.cid)"""
+
+    steps = "".join(f"{assign(t, f'a{t}')},{update(t)}," for t in range(iters))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings),
+    cent0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings
+              ORDER BY {_H_DUCK.format(x="CAST(vec_id AS VARCHAR)")} LIMIT {k}),
+    {steps}
+    {assign(iters, "afinal").lstrip()}
+    SELECT vec_id, cid AS cluster_id, sim FROM afinal"""
+
+
+QUERY_FNS["s_kmeans"] = _s_kmeans_fn
+ORACLES["s_kmeans"] = _s_kmeans_duck()
+
+
+# ===========================================================================
 # Cross-run NEAR-dup dedup against a persisted MinHash signature store —
 # the near-dup analog of d_dedup_against_store's exact tier: re-crawled
 # pages whose text DRIFTED (and so beat the exact-fp anti-join) are caught

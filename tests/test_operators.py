@@ -724,6 +724,57 @@ def test_topk_cosine_exact_vs_lsh(spark):
     assert set(approx) <= set(exact) or len(set(approx) & set(exact)) >= 5
 
 
+def test_kmeans_separates_planted_clusters(spark):
+    """Three well-separated direction clusters, k=3: every member lands
+    with its plant-mates, and the fitted centroid points into its cluster's
+    cone (cosine to the plant direction ~1)."""
+    import numpy as np
+
+    from ocr_sam_project_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.RandomState(7)
+    dirs = np.eye(3)
+    rows = []
+    for g in range(3):
+        for j in range(20):
+            v = dirs[g] * 10 + rng.rand(3)  # tight cone around axis g
+            rows.append((g * 100 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, cent = kmeans_fit(df, k=3, iters=2)
+    got = assigned.collect()
+    by_plant = {}
+    for r in got:
+        by_plant.setdefault(r.vec_id // 100, set()).add(r.cluster_id)
+    # each planted group maps to exactly one fitted cluster, all distinct
+    assert all(len(s) == 1 for s in by_plant.values())
+    assert len({next(iter(s)) for s in by_plant.values()}) == 3
+    # centroids point into their cones
+    for plant, cl in by_plant.items():
+        c = np.asarray(cent[next(iter(cl))])
+        cos = c @ dirs[plant] / np.linalg.norm(c)
+        assert cos > 0.99
+    # sims are high and rounded to 6 dp
+    assert all(r.sim > 0.95 and r.sim == round(r.sim, 6) for r in got)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """If an initial centroid wins no members, its centroid must survive
+    unchanged (deterministic Lloyd fallback), not crash or go null."""
+    from ocr_sam_project_spark.operators.similarity import ivf_centroids, kmeans_fit
+
+    # two identical far points + many clustered ones: with k=2 one centroid
+    # may capture everything depending on the hash sample; force the
+    # degenerate case via k > number of distinct directions
+    rows = [(i, [1.0, 0.0]) for i in range(10)] + [(100, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    init = {int(r.cid) for r in ivf_centroids(df, 3)}
+    assigned, cent = kmeans_fit(df, k=3, iters=2)
+    assert set(cent) == init
+    assert assigned.count() == 11
+    # every centroid is a finite 2-vector
+    assert all(len(v) == 2 and all(x == x for x in v) for v in cent.values())
+
+
 def test_lang_id_and_quality(spark, docs):
     from ocr_sam_project_spark.operators.textstats import with_textstats
 
