@@ -75,8 +75,15 @@ BENCH_QUERIES = [
     "d_url_dedup",
     "d_minhash_sig",
     "d_minhash_lsh_near_dups",
+    "d_near_store_fast",
     "d_simhash",
     "d_lsh_clusters_fast",
+    "t_gopher_rules",
+    "t_dup_ngram_frac",
+    "g_link_extract",
+    "g_host_degrees",
+    "g_blocklist",
+    "s_kmeans",
     "s_topk_cosine",
     "s_topk_batch",
     "s_topk_cosine_lsh",

@@ -3271,6 +3271,25 @@ QUERY_FNS["d_near_dedup_store"] = _d_near_dedup_store_fn
 ORACLES["d_near_dedup_store"] = _d_near_dedup_store_duck()
 
 
+def _d_near_store_fast_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash twin (xxhash64 signatures, k=16) — rows-only like
+    d_minhash_lsh_near_dups: a different hash family shifts estimator
+    values, so the portable d_near_dedup_store carries the exact oracle."""
+    from .operators.dedup import near_dedup_against_store, minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store_sigs = minhash_signatures(
+        docs.filter(F.col("doc_id") % 3 == 0), k=16, fast=True
+    )
+    return near_dedup_against_store(
+        docs.filter(F.col("doc_id") % 3 != 0), store_sigs, k=16, bands=4,
+        sim_threshold=0.5, fast=True,
+    ).select("doc_id")
+
+
+QUERY_FNS["d_near_store_fast"] = _d_near_store_fast_fn
+
+
 # ===========================================================================
 # Web-graph family (operators/webgraph.py): link extraction from raw html,
 # host-graph edges/degrees, UT1-style blocklist, latest-snapshot url dedup.
