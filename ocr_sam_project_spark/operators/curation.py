@@ -590,6 +590,91 @@ def unigram_logprob(
 
 
 # --------------------------------------------------------------------------
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-self-trained BIGRAM language-model score — one order up from
+    unigram_logprob, catching what a unigram model cannot: shuffled-word
+    salad scores exactly like fluent text under a unigram model but
+    collapses under a bigram one (local word order is the signal).  Every
+    document is scored by the mean conditional log-probability of its
+    bigram positions under the corpus's own add-one-smoothed model
+
+        logp(w | v) = ln((c(v,w) + 1) / (c(v) + V))
+
+    where c(v) is v's CONTEXT count (sum of c(v,*) — the proper
+    conditional denominator) and V is the participating-token vocabulary
+    size (distinct tokens appearing in any bigram; the smoothing constant
+    only shifts the scale, the choice is pinned for the oracle).  Returns
+    (id, n_bigrams, avg_logprob); docs with < 2 tokens get NULL.
+
+    Cross-engine determinism: the unigram_logprob discipline — per-bigram
+    logp rounded to 6 dp and cast DECIMAL(18,6) BEFORE the per-doc sum
+    (exact, associative), one double division + 6-dp round at the end.
+
+    Scale shape (100 TB): one corpus scan into the (id, v, w) bigram-tf
+    shuffle (lazily checkpointed — it feeds the model branch AND the probe
+    side); the model table is bigram-vocabulary-sized, joined back by
+    (v, w) hash — unlike the unigram case it is NOT broadcast (bigram
+    vocab at web scale is 10^9+ rows), so the probe pays one more
+    vocab-keyed shuffle of the doc-bigram tf rows; context totals and V
+    fold from the model table (no extra corpus pass)."""
+    arr = F.split(normalize_for_fingerprint(F.col(text_col)), " ")
+    idx = F.when(F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = df.select(
+        F.col(id_col).alias("id"),
+        arr.alias("_tk"),
+        F.explode_outer(idx).alias("_i"),
+    ).select(
+        "id",
+        F.element_at("_tk", F.col("_i")).alias("v"),
+        F.element_at("_tk", F.col("_i") + 1).alias("w"),
+    )
+    tf = (
+        bigrams.filter(F.col("v").isNotNull())
+        .groupBy("id", "v", "w")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    model = (
+        tf.groupBy("v", "w").agg(F.sum("tf").alias("cvw")).localCheckpoint(eager=False)
+    )
+    ctx = model.groupBy("v").agg(F.sum("cvw").alias("cv"))
+    vocab = model.select(F.col("v").alias("t")).union(
+        model.select(F.col("w").alias("t"))
+    )
+    vtot = vocab.distinct().agg(F.count("*").alias("_V"))
+    logp = (
+        model.join(ctx, "v")
+        .crossJoin(F.broadcast(vtot))
+        .select(
+            "v",
+            "w",
+            F.round(F.log((F.col("cvw") + 1.0) / (F.col("cv") + F.col("_V"))), 6)
+            .cast("decimal(18,6)")
+            .alias("_logp"),
+        )
+    )
+    scored = tf.join(logp, ["v", "w"]).groupBy("id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("_logp")).alias("_sum_lp"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.col("_sum_lp").cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 def token_budget_select(
     df: DataFrame,
     budget: int,

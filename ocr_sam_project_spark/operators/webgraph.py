@@ -249,3 +249,84 @@ def latest_snapshot_dedup(
             "n_snapshots",
         )
     )
+
+
+def host_rank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    n_hosts: int | None = None,
+) -> DataFrame:
+    """Weighted PageRank over the host graph (fixed iterations, no dangling
+    -mass redistribution — lost mass is the standard simplification and is
+    mirrored exactly by the SQL twin).  Edge weight = n_links / total
+    outlinks of the source host.  Returns (host, rank).
+
+    The crawl-side use: host rank drives seed scheduling and spam demotion
+    (a host cited by many well-cited hosts outranks a link farm that only
+    cites itself) — the reference has no corpus pass at all, and Spark's
+    GraphX is RDD/Scala-only, so this is the DataFrame-native rebuild.
+
+    Determinism contract (same discipline as kmeans_fit): per-edge
+    contributions are computed in float64 in a FIXED expression order
+    (rank * (n_links / out_total)), rounded to 12 dp, summed as
+    DECIMAL(28,12) — associative, so partition order cannot change the sum
+    — and the new rank is rounded to 12 dp.  Every arithmetic site is
+    bit-identical in DuckDB, so even this iterative algorithm has an exact
+    oracle (unrolled CTEs).
+
+    Scale shape (10^8 hosts): the weighted edge list is computed ONCE and
+    lazily checkpointed (it is consumed every iteration — without the
+    checkpoint Spark re-derives it per iteration, the shared-subtree trap);
+    each iteration is one src-keyed join + one dst-keyed partial-agg
+    shuffle + one left join back to the node set, all host-cardinality
+    (edges, not links).  Ranks are checkpointed per round to keep the plan
+    tree bounded (the resolve_clusters pattern).  n_hosts lets ingest pass
+    the known node count and skip the count() job."""
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed every iteration
+    )
+    n = n_hosts if n_hosts is not None else nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(None).cast("double"))
+    out = edges.groupBy("src_host").agg(F.sum("n_links").alias("_out"))
+    ew = (
+        edges.join(out, "src_host")
+        .select(
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+            (F.col("n_links").cast("double") / F.col("_out").cast("double")).alias("w"),
+        )
+        .localCheckpoint(eager=False)  # consumed every iteration
+    )
+    base = (1.0 - damping) / n
+    ranks = nodes.select("host", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["host"])
+            .select(
+                "dst",
+                F.round(F.col("rank") * F.col("w"), 12)
+                .cast("decimal(28,12)")
+                .alias("_c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["host"] == contrib["dst"], "left")
+            .select(
+                "host",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("_s").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)  # bound the per-round plan tree
+        )
+    return ranks

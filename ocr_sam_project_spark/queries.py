@@ -3107,6 +3107,89 @@ QUERY_FNS["s_semantic_dedup"] = _s_semantic_dedup_fn
 ORACLES["s_semantic_dedup"] = _s_semantic_dedup_duck(tau=0.35)
 
 
+def _t_bigram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import bigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_logprob(docs)
+
+
+def _t_bigram_duck() -> str:
+    norm = _NORM_DUCK.format(x="text")
+    return f"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS tk
+               FROM documents),
+    gi AS (SELECT doc_id, tk,
+                  unnest(range(0, CASE WHEN len(tk) >= 2
+                                       THEN len(tk) - 1 ELSE 0 END)) AS i
+           FROM t),
+    bg AS (SELECT doc_id, tk[i + 1] AS v, tk[i + 2] AS w FROM gi),
+    tf AS (SELECT doc_id, v, w, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+    model AS (SELECT v, w, CAST(SUM(tf) AS BIGINT) AS cvw FROM tf GROUP BY 1, 2),
+    ctx AS (SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv FROM model GROUP BY 1),
+    vt AS (SELECT COUNT(*) AS vv FROM
+             (SELECT v AS t FROM model UNION SELECT w FROM model)),
+    lp AS (SELECT m.v, m.w,
+                  CAST(ROUND(ln((m.cvw + 1.0) / (c.cv + vt.vv)), 6)
+                       AS DECIMAL(18,6)) AS logp
+           FROM model m JOIN ctx c ON c.v = m.v CROSS JOIN vt),
+    sc AS (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+                  SUM(tf.tf * lp.logp) AS slp
+           FROM tf JOIN lp ON lp.v = tf.v AND lp.w = tf.w GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+           ROUND(CAST(sc.slp AS DOUBLE) / sc.n_bigrams, 6) AS avg_logprob
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"""
+
+
+# bigram LM score: word-order-sensitive perplexity proxy (unigram's blind
+# spot); model joined by (v,w) hash — NOT broadcast (bigram vocab is
+# 10^9-rows at web scale).
+QUERY_FNS["t_bigram_logprob"] = _t_bigram_fn
+ORACLES["t_bigram_logprob"] = _t_bigram_duck()
+
+
+def _t_stratified_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified sampling: bucket docs by the frozen quality score
+    (lo/mid/hi), then keep each bucket at its own rate via the frozen
+    md5-coin — mixture_sample composed over a COMPUTED stratum column (the
+    FineWeb-style quality-balanced downsample)."""
+    from .operators.curation import mixture_sample
+    from .operators.textstats import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_score(F.col("text"))
+    bucketed = docs.withColumn(
+        "stratum",
+        F.when(q < 0.4, "lo").when(q < 0.7, "mid").otherwise("hi"),
+    )
+    out = mixture_sample(
+        bucketed, {"lo": 0.25, "mid": 0.5, "hi": 1.0}, domain_col="stratum"
+    )
+    return out.select("doc_id", "stratum")
+
+
+def _t_stratified_duck() -> str:
+    # quality_score twin (textstats): reuse the registered t_quality oracle
+    # expression by inlining its score column
+    thr = lambda w: format(int(w * (1 << 32)), "08x")  # noqa: E731
+    return f"""
+    WITH q AS ({ORACLES["t_quality"]}),
+    b AS (SELECT doc_id,
+                 CASE WHEN quality < 0.4 THEN 'lo'
+                      WHEN quality < 0.7 THEN 'mid'
+                      ELSE 'hi' END AS stratum
+          FROM q)
+    SELECT doc_id, stratum FROM b
+    WHERE (stratum = 'hi')
+       OR (stratum = 'lo' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thr(0.25)}')
+       OR (stratum = 'mid' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thr(0.5)}')"""
+
+
+QUERY_FNS["t_stratified_sample"] = _t_stratified_fn
+ORACLES["t_stratified_sample"] = _t_stratified_duck()
+
+
 # ===========================================================================
 # Spherical k-means (Lloyd, fixed iterations) — the corpus-clustering
 # primitive under SemDeDup / cluster-balanced sampling, fully deterministic
@@ -3549,6 +3632,57 @@ def _g_latest_snapshot_duck() -> str:
 
 QUERY_FNS["g_latest_snapshot"] = _g_latest_snapshot_fn
 ORACLES["g_latest_snapshot"] = _g_latest_snapshot_duck()
+
+
+_HR_DAMPING, _HR_ITERS = 0.85, 3
+
+
+def _g_host_rank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.webgraph import extract_links, host_edges, host_rank
+
+    edges = host_edges(extract_links(_g_pages(spark, sf_dir)))
+    return host_rank(edges, damping=_HR_DAMPING, iters=_HR_ITERS)
+
+
+def _g_host_rank_duck(damping: float = _HR_DAMPING, iters: int = _HR_ITERS) -> str:
+    # every arithmetic site mirrors host_rank bit-for-bit: double division
+    # for weights, ROUND(rank*w,12)::DECIMAL(28,12) exact sums, double
+    # (1-d)/N + d*s recombination — all literals forced to DOUBLE so DuckDB
+    # does not fall into decimal-literal arithmetic.
+    d = f"CAST({damping} AS DOUBLE)"
+    base = f"(CAST(1.0 AS DOUBLE) - {d}) / (SELECT c FROM cnt)"
+    steps = []
+    for t in range(iters):
+        steps.append(f"""
+    c{t} AS (SELECT ew.dst,
+                    SUM(CAST(ROUND(r.rank * ew.w, 12) AS DECIMAL(28,12))) AS s
+             FROM ew JOIN r{t} r ON ew.src = r.host GROUP BY ew.dst),
+    r{t + 1} AS (SELECT nd.host,
+                        ROUND({base} + {d} * COALESCE(CAST(c.s AS DOUBLE),
+                                                      CAST(0.0 AS DOUBLE)), 12) AS rank
+                 FROM nodes nd LEFT JOIN c{t} c ON c.dst = nd.host)""")
+    return f"""
+    WITH {_G_LINKS_CTE},
+    e AS (SELECT nullif(src_host, '') AS src, dst_host AS dst,
+                 COUNT(*) AS n_links
+          FROM links
+          WHERE kind IN ('absolute', 'proto_relative', 'relative')
+            AND dst_host IS NOT NULL AND nullif(src_host, '') IS NOT NULL
+          GROUP BY 1, 2),
+    o AS (SELECT src, CAST(SUM(n_links) AS BIGINT) AS t FROM e GROUP BY src),
+    ew AS (SELECT e.src, e.dst,
+                  CAST(e.n_links AS DOUBLE) / CAST(o.t AS DOUBLE) AS w
+           FROM e JOIN o ON o.src = e.src),
+    nodes AS (SELECT DISTINCT host FROM
+              (SELECT src AS host FROM e UNION ALL SELECT dst AS host FROM e)),
+    cnt AS (SELECT COUNT(*) AS c FROM nodes),
+    r0 AS (SELECT host, CAST(1.0 AS DOUBLE) / (SELECT c FROM cnt) AS rank
+           FROM nodes),{",".join(steps)}
+    SELECT host, rank FROM r{iters}"""
+
+
+QUERY_FNS["g_host_rank"] = _g_host_rank_fn
+ORACLES["g_host_rank"] = _g_host_rank_duck()
 
 
 # ===========================================================================

@@ -724,6 +724,31 @@ def test_topk_cosine_exact_vs_lsh(spark):
     assert set(approx) <= set(exact) or len(set(approx) & set(exact)) >= 5
 
 
+def test_bigram_logprob_penalizes_word_salad(spark):
+    """Unigram blind spot: a shuffled-token doc has the SAME unigram score
+    as its fluent source but must score strictly lower under the bigram
+    model; docs with < 2 tokens get NULL with n_bigrams=0."""
+    from ocr_sam_project_spark.operators.curation import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+
+    fluent = "el juzgado ordena el embargo " * 10
+    toks = fluent.split()
+    salad = " ".join(toks[1::2] + toks[0::2][::-1])  # same multiset, broken order
+    df = spark.createDataFrame(
+        [(1, fluent), (2, salad), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    uni = {r.doc_id: r.avg_logprob for r in unigram_logprob(df).collect()}
+    assert uni[1] == uni[2]  # unigram cannot tell them apart
+    bi = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert bi[1].avg_logprob > bi[2].avg_logprob  # bigram can
+    assert bi[3].n_bigrams == 0 and bi[3].avg_logprob is None
+    assert bi[4].n_bigrams == 0 and bi[4].avg_logprob is None
+    assert bi[1].n_bigrams == len(toks) - 1
+
+
 def test_kmeans_separates_planted_clusters(spark):
     """Three well-separated direction clusters, k=3: every member lands
     with its plant-mates, and the fitted centroid points into its cluster's

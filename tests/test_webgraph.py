@@ -150,6 +150,63 @@ def test_latest_snapshot_dedup_keeps_max_ts(spark):
     assert out["https://b.example/q"]["keep_id"] == 4
 
 
+def test_host_rank_matches_pure_python_reference(spark):
+    """host_rank's determinism contract re-implemented in pure Python
+    (floats + exact Decimal sums, 12-dp half-up rounding): the Spark result
+    must match to the last digit, and the hub of a star graph must outrank
+    its leaves."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ocr_sam_project_spark.operators.webgraph import host_rank
+
+    raw = [
+        ("a", "b", 2), ("a", "c", 1), ("b", "a", 1),
+        ("c", "a", 3), ("d", "a", 1), ("d", "c", 1),
+    ]
+    edges = spark.createDataFrame(
+        raw, "src_host string, dst_host string, n_links long"
+    )
+    got = {r.host: r.rank for r in host_rank(edges, iters=3).collect()}
+
+    def r12(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("1e-12"), ROUND_HALF_UP))
+
+    nodes = sorted({s for s, _, _ in raw} | {t for _, t, _ in raw})
+    n = len(nodes)
+    outt = {}
+    for s, _, w in raw:
+        outt[s] = outt.get(s, 0) + w
+    ew = [(s, t, float(w) / float(outt[s])) for s, t, w in raw]
+    d, base = 0.85, (1.0 - 0.85) / n
+    rank = {h: 1.0 / n for h in nodes}
+    for _ in range(3):
+        sums = {h: Decimal(0) for h in nodes}
+        for s, t, w in ew:
+            sums[t] += Decimal(repr(r12(rank[s] * w)))
+        rank = {h: r12(base + d * float(sums[h])) for h in nodes}
+
+    assert got == rank
+    assert max(got, key=got.get) == "a"  # the star hub wins
+    assert sum(got.values()) <= 1.0 + 1e-9  # dangling mass only leaks out
+
+
+def test_host_rank_empty_and_param_n(spark):
+    from ocr_sam_project_spark.operators.webgraph import host_rank
+
+    empty = spark.createDataFrame(
+        [], "src_host string, dst_host string, n_links long"
+    )
+    assert host_rank(empty).count() == 0
+    two = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "src_host string, dst_host string, n_links long"
+    )
+    # n_hosts passed by ingest must equal the computed path
+    auto = {r.host: r.rank for r in host_rank(two, iters=2).collect()}
+    given = {r.host: r.rank for r in host_rank(two, iters=2, n_hosts=2).collect()}
+    assert auto == given
+    assert auto["a"] == auto["b"]  # symmetric 2-cycle
+
+
 def test_host_of_ports_and_case(spark):
     vals = (
         spark.createDataFrame(
