@@ -582,10 +582,24 @@ def unigram_logprob(
         .select(
             F.col("id").alias(id_col),
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.round(
-                F.col("_sum_lp").cast("double") / F.col("n_tokens"), 6
-            ).alias("avg_logprob"),
+            _avg_logprob_expr("_sum_lp", "n_tokens").alias("avg_logprob"),
         )
+    )
+
+
+def _avg_logprob_expr(sum_col: str, n_col: str):
+    """Half-away-rounded mean of a DECIMAL(x,6) log-prob sum over n terms,
+    computed in EXACT INTEGER arithmetic: micros = sum * 1e6 (exact),
+    mean-micros = (2*|micros| + n) div (2*n) (half-away for the always-
+    negative sum), back to double.  A plain ROUND(sum/n, 6) lands on exact
+    half-micro boundaries CONSTANTLY (scale-6 decimal over a small integer
+    n) and Spark/DuckDB disagree there — Spark rounds the binary double's
+    exact expansion, DuckDB its shortest decimal repr; seen live at sf0.1
+    (doc 361: -3.3883295 -> -3.388329 vs -3.38833).  The +0.0 normalizes
+    a would-be -0.0."""
+    return F.expr(
+        f"-CAST((2 * CAST({sum_col} * -1000000 AS BIGINT) + {n_col})"
+        f" DIV (2 * {n_col}) AS DOUBLE) / 1000000 + 0.0"
     )
 
 
@@ -667,9 +681,7 @@ def bigram_logprob(
         .select(
             F.col("id").alias(id_col),
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            F.round(
-                F.col("_sum_lp").cast("double") / F.col("n_bigrams"), 6
-            ).alias("avg_logprob"),
+            _avg_logprob_expr("_sum_lp", "n_bigrams").alias("avg_logprob"),
         )
     )
 

@@ -2696,7 +2696,8 @@ def _t_unigram_duck() -> str:
     SELECT d.doc_id,
            CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
            CASE WHEN s.n_tokens > 0
-                THEN ROUND(CAST(s.sum_lp AS DOUBLE) / s.n_tokens, 6)
+                THEN -CAST((2 * CAST(s.sum_lp * -1000000 AS BIGINT) + s.n_tokens)
+                           // (2 * s.n_tokens) AS DOUBLE) / 1000000 + 0.0
            END AS avg_logprob
     FROM documents d LEFT JOIN scored s ON s.id = d.doc_id"""
 
@@ -3138,7 +3139,10 @@ def _t_bigram_duck() -> str:
            FROM tf JOIN lp ON lp.v = tf.v AND lp.w = tf.w GROUP BY 1)
     SELECT d.doc_id,
            COALESCE(sc.n_bigrams, 0) AS n_bigrams,
-           ROUND(CAST(sc.slp AS DOUBLE) / sc.n_bigrams, 6) AS avg_logprob
+           CASE WHEN sc.n_bigrams > 0
+                THEN -CAST((2 * CAST(sc.slp * -1000000 AS BIGINT) + sc.n_bigrams)
+                           // (2 * sc.n_bigrams) AS DOUBLE) / 1000000 + 0.0
+           END AS avg_logprob
     FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"""
 
 
