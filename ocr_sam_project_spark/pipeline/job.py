@@ -112,6 +112,7 @@ def run_extraction_job(
     fp_store_path: Optional[str] = None,
     url_dedup: bool = False,
     pii_scrub: bool = False,
+    blocklist=None,
 ) -> dict:
     """Run (or resume) the extraction pipeline.
 
@@ -144,6 +145,14 @@ def run_extraction_job(
     never touches the html/text columns).  Dropped counts land in lineage
     as `url_dups_dropped`; the text-dedup / fp-store universes exclude url
     losers so every dropped page is audited exactly once.
+
+    `blocklist` (DataFrame with a `domain` column, or None) refuses
+    ADMISSION to pages whose url host — or any parent domain of it — is
+    listed (UT1-style suffix semantics, operators.webgraph).  It runs as
+    tier -1, before even url canonicalization: a blocked page is never
+    read, fingerprinted, or counted as crawl work.  Refused counts land in
+    lineage as `blocked_dropped`.  The probe is two broadcast joins (the
+    blocklist, then the tiny hit set) — zero corpus Exchange.
 
     `pii_scrub` redacts emails / phone numbers / cedula IDs from the
     extracted text AFTER extraction (pure regexp codegen on the narrow
@@ -185,11 +194,37 @@ def run_extraction_job(
             for r in here.groupBy("part_id").agg(F.count("*").alias("n")).collect()
         }
 
+    # --- tier -1: domain-blocklist admission filter (host string only) ---
+    blocked_by_part: dict[int, int] = {}
+    blocked_dropped = 0
+    dedup_universe = pages  # later tiers exclude earlier tiers' losers so
+    #                         each dropped page is audited exactly once
+    if blocklist is not None:
+        from ..operators.webgraph import domain_suffixes, host_of
+
+        bl_losers = (
+            pages.select(
+                "url",
+                F.explode(domain_suffixes(host_of(F.col("url")))).alias("_sfx"),
+            )
+            .join(
+                F.broadcast(blocklist.select(F.lower("domain").alias("_sfx"))),
+                "_sfx",
+                "left_semi",
+            )
+            .select("url")
+            .distinct()  # a host can hit via several suffixes; audit once
+            .localCheckpoint()  # eager: the probe DAG runs exactly once
+        )
+        blocked_by_part = _per_part_counts(bl_losers)
+        blocked_dropped = sum(blocked_by_part.values())
+        todo = todo.join(bl_losers, "url", "left_anti")
+        dedup_universe = dedup_universe.join(bl_losers, "url", "left_anti")
+        tm = _mark("blocklist", tm)
+
     # --- tier 0: canonical-URL dedup (no text read at all) ---------------
     url_drops_by_part: dict[int, int] = {}
     url_dups_dropped = 0
-    dedup_universe = pages  # later tiers exclude earlier tiers' losers so
-    #                         each dropped page is audited exactly once
     if url_dedup:
         from pyspark.sql import Window
 
@@ -197,7 +232,7 @@ def run_extraction_job(
 
         w = Window.partitionBy("_cu")
         url_losers = (
-            pages.select("url", canonical_url(F.col("url")).alias("_cu"))
+            dedup_universe.select("url", canonical_url(F.col("url")).alias("_cu"))
             .withColumn("_keep", F.min("url").over(w))
             .filter(F.col("url") != F.col("_keep"))
             .select("url")
@@ -373,7 +408,7 @@ def run_extraction_job(
     }
     dedup_only_parts = sorted(
         p
-        for p in set(drops_by_part) | set(url_drops_by_part)
+        for p in set(drops_by_part) | set(url_drops_by_part) | set(blocked_by_part)
         if p not in seen_parts
     )
     if not stats_rows and not dedup_only_parts:
@@ -381,18 +416,21 @@ def run_extraction_job(
                 "dups_dropped": dups_dropped,
                 "store_dups_dropped": store_dups_dropped,
                 "url_dups_dropped": url_dups_dropped,
+                "blocked_dropped": blocked_dropped,
                 "pii_redactions": 0,
                 "skipped_parts": sorted(done), "elapsed_sec": 0.0}
     stats = spark.createDataFrame(
         [
             (r.part_id, "completed", r.docs_in, r.segments_out, r.errors,
              drops_by_part.get(r.part_id, 0),
-             url_drops_by_part.get(r.part_id, 0), r.pii_n or 0, run_id, run_ts)
+             url_drops_by_part.get(r.part_id, 0),
+             blocked_by_part.get(r.part_id, 0), r.pii_n or 0, run_id, run_ts)
             for r in stats_rows
         ]
         + [
             (p, "completed", 0, 0, 0, drops_by_part.get(p, 0),
-             url_drops_by_part.get(p, 0), 0, run_id, run_ts)
+             url_drops_by_part.get(p, 0), blocked_by_part.get(p, 0), 0,
+             run_id, run_ts)
             for p in dedup_only_parts
         ],
         schema=LINEAGE_SCHEMA,
@@ -409,6 +447,7 @@ def run_extraction_job(
             (run_id, "dups_dropped", float(dups_dropped), run_ts),
             (run_id, "store_dups_dropped", float(store_dups_dropped), run_ts),
             (run_id, "url_dups_dropped", float(url_dups_dropped), run_ts),
+            (run_id, "blocked_dropped", float(blocked_dropped), run_ts),
             (run_id, "pii_redactions", float(pii_redactions_total), run_ts),
             (run_id, "elapsed_sec", float(elapsed), run_ts),
             (run_id, "docs_per_sec", float(docs_in) / elapsed if elapsed > 0 else 0.0, run_ts),
@@ -442,6 +481,7 @@ def run_extraction_job(
         "dups_dropped": dups_dropped,
         "store_dups_dropped": store_dups_dropped,
         "url_dups_dropped": url_dups_dropped,
+        "blocked_dropped": blocked_dropped,
         "pii_redactions": pii_redactions_total,
         "skipped_parts": sorted(done),
         "elapsed_sec": elapsed,

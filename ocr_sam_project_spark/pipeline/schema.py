@@ -138,6 +138,9 @@ LINEAGE_SCHEMA = StructType(
         # strings redacted by the optional post-extract scrub tier —
         # both 0 when their tier is off
         StructField("url_dups_dropped", LongType(), True),
+        # pages refused admission by the optional domain-blocklist tier
+        # (UT1-style suffix match on the url host; 0 when off)
+        StructField("blocked_dropped", LongType(), True),
         StructField("pii_redactions", LongType(), True),
         StructField("run_id", StringType(), True),
         StructField("updated_at", TimestampType(), True),

@@ -361,17 +361,24 @@ def test_job_all_curation_tiers_compose(spark, pages_parquet, tmp_path):
     d["text"] = ("Oficio No. JE-123-2025 del Juzgado Primero de lo Civil. "
                  "escriba a maria@correo.example.org con cedula 8-123-456")
     d["html"] = None
+    #  E: page on a blocklisted domain's subdomain  -> admission tier drops 1
+    e = dict(nonempty[0]); e["url"] = "https://ads.blocked.example/spam"
+    e["text"] = "contenido de spam que jamas debe entrar al corpus"
+    e["html"] = None
     in2 = tmp_path / "c2"
     in2.mkdir()
     pq.write_table(
-        pa.Table.from_pylist([a1, a2, b, c1, c2, d], schema=base.schema),
+        pa.Table.from_pylist([a1, a2, b, c1, c2, d, e], schema=base.schema),
         str(in2 / "p.parquet"),
     )
 
+    blocked = spark.createDataFrame([("blocked.example",)], "domain string")
     s = run_extraction_job(
         spark, str(in2), str(tmp_path / "o2"), run_id="c2", num_parts=8,
         dedup="exact", fp_store_path=store, url_dedup=True, pii_scrub=True,
+        blocklist=blocked,
     )
+    assert s["blocked_dropped"] == 1    # e (suffix match on parent domain)
     assert s["url_dups_dropped"] == 1   # a2 (utm variant)
     assert s["dups_dropped"] == 1       # c2 (in-run text dup)
     assert s["store_dups_dropped"] == 1  # b (re-crawl)
@@ -380,6 +387,11 @@ def test_job_all_curation_tiers_compose(spark, pages_parquet, tmp_path):
 
     written = spark.read.parquet(f"{tmp_path}/o2/extractions")
     assert written.filter(F.col("url") == a2["url"]).count() == 0
+    assert written.filter(F.col("url") == e["url"]).count() == 0
+    lineage = spark.read.parquet(f"{tmp_path}/o2/lineage").filter(
+        F.col("run_id") == "c2"
+    )
+    assert lineage.agg(F.sum("blocked_dropped")).first()[0] == 1
     d_rows = written.filter(F.col("url") == d["url"]).collect()
     assert d_rows and all(
         "maria@" not in (r.extracted_text or "") for r in d_rows
