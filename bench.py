@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "g_link_extract",
     "g_host_degrees",
     "g_blocklist",
+    "g_host_rank",
+    "t_bigram_logprob",
     "s_kmeans",
     "s_topk_cosine",
     "s_topk_batch",

@@ -3713,6 +3713,7 @@ _DRIVER_PRIORITY = [
     "d_simhash_clusters",
     "d_exact_dedup",
     "d_dedup_against_store",
+    "d_near_dedup_store",
     "d_url_dedup",
     "d_ngram_jaccard",
     # similarity / ANN (s_topk_cosine, s_ivf_assign, s_near_dup_cosine are
@@ -3722,6 +3723,7 @@ _DRIVER_PRIORITY = [
     "s_topk_cosine_lsh",
     "s_cosine_clusters",
     "s_semantic_dedup",
+    "s_kmeans",
     # curation / training-data tiers (lang-id, quality, repetition, token
     # counts all hash-verify inside t_curate_corpus's funnel rollup)
     "t_curate_corpus",
@@ -3730,9 +3732,8 @@ _DRIVER_PRIORITY = [
     "t_domain_cap",
     "t_pii_scrub",
     "t_tfidf_topk",
-    "t_mixture_sample",
+    "t_bigram_logprob",
     "t_pack_sequences",
-    "t_winnow_fingerprint",
     "t_boilerplate_strip",
     "t_unigram_logprob",
     "t_token_budget",
@@ -3748,7 +3749,6 @@ _DRIVER_PRIORITY = [
     # extraction operator families
     "x8_enrich_inject",
     "c1_classify",
-    "x3_validation_score",
     "x10_json_extract",
     "f1_validity_filter",
     "f_count_tolerance",
@@ -3767,7 +3767,13 @@ _DRIVER_PRIORITY = [
     # --- 50-row window boundary: everything below still runs in the pytest
     # all-oracle parity gate (x1's bank is in-window via pipeline_cedulas;
     # q1/w1/j1 displaced by the gopher/dup-ngram/web-graph families, their
-    # agg/window/join shapes remain via a1-a9/w4-w5/j4-j5) ---
+    # agg/window/join shapes remain via a1-a9/w4-w5/j4-j5; x3's validation
+    # columns hash-verify inside pipeline_fields_parity; winnow/mixture
+    # displaced by kmeans/near-store/bigram, families in-window via
+    # m_binary_features fingerprint + domain_cap/token_budget sampling) ---
+    "x3_validation_score",
+    "t_winnow_fingerprint",
+    "t_mixture_sample",
     "x1_extract_cedula",
     "q1_pricing_summary",
     "w1_secuencia",
