@@ -380,3 +380,68 @@ def test_dsir_delta_table_broadcasts_onto_tf(spark):
     )
     plan = _plan(dsir_weights(df, df.limit(20)))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_extract_links_is_narrow(spark):
+    """g_link_extract design point: regex extraction + zip + posexplode all
+    pipeline inside the scan stage — Generate (the explode) is expected,
+    but NO Exchange and NO aggregate at any corpus size."""
+    from ocr_sam_project_spark.operators.webgraph import extract_links
+
+    df = spark.range(100).selectExpr(
+        "concat('https://h', id % 7, '.example/p/', id) AS url",
+        "CAST(concat('<a href=\"/x\">l</a><a href=\"https://o.example/y\">m</a>') AS BINARY) AS html",
+    )
+    plan = _plan(extract_links(df))
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_kmeans_assignment_is_narrow(spark):
+    """kmeans design point: each Lloyd ASSIGNMENT pass is one narrow Arrow
+    stage (ArrowEvalPython) — no join, no window, no Exchange; only the
+    centroid-update aggregate shuffles (k x P partial rows)."""
+    from ocr_sam_project_spark.operators.similarity import (
+        _kmeans_assign,
+        ivf_centroids,
+    )
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = ivf_centroids(df, 3)
+    order = sorted(range(len(rows)), key=lambda i: int(rows[i].cid))
+    C = np.vstack([[float(x) for x in rows[i].cvec] for i in order]).T
+    cids = np.asarray([int(rows[i].cid) for i in order])
+    plan = _plan(_kmeans_assign(df, cids, C, "vec_id", "embedding"))
+    assert "ArrowEvalPython" in plan, plan
+    assert "Exchange" not in plan.replace("RoundRobinPartitioning", ""), plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_near_store_probe_prunes_new_side_text(spark, tmp_path):
+    """near_store_matches design point: the probe never ships the new
+    batch's TEXT through the candidate join — after signatures are
+    computed, only (id, sig, band, bucket) rows flow; the store side scans
+    just (id, sig)."""
+    from ocr_sam_project_spark.operators.dedup import (
+        minhash_signatures,
+        near_store_matches,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"texto numero {i} con palabras {i % 5}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    store_path = str(tmp_path / "sigs")
+    minhash_signatures(docs, k=8, fast=False).write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+    plan = _plan(near_store_matches(docs, store, k=8, bands=4, fast=False))
+    # the store parquet scan reads only (id, sig) — never text
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    store_scans = [c for c in scans if "sig" in c]
+    assert store_scans and all("text" not in c for c in store_scans), plan
