@@ -3638,6 +3638,66 @@ QUERY_FNS["g_latest_snapshot"] = _g_latest_snapshot_fn
 ORACLES["g_latest_snapshot"] = _g_latest_snapshot_duck()
 
 
+def _g_host_components_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the host link graph — the same
+    pointer-jumping min-label machinery that resolves near-dup clusters
+    (dedup.resolve_clusters) applied to web topology: mirror networks and
+    link rings collapse to one component id (string labels work because
+    every update is F.least — lexicographic min is as valid a canonical
+    element as a numeric min)."""
+    from .operators.dedup import resolve_clusters
+    from .operators.textstats import hash64
+    from .operators.webgraph import extract_links, host_edges
+
+    edges = host_edges(extract_links(_g_pages(spark, sf_dir)))
+    # resolve_clusters' convergence certificate (monotone label SUM) needs
+    # NUMERIC labels — hash hosts to the portable 56-bit id space first,
+    # then map component ids back onto host strings
+    comp = resolve_clusters(
+        edges.select(
+            hash64(F.col("src_host")).alias("id_a"),
+            hash64(F.col("dst_host")).alias("id_b"),
+        )
+    )
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .withColumn("_h", hash64(F.col("host")))
+    )
+    return hosts.join(comp, hosts["_h"] == comp["doc_id"]).select(
+        "host", F.col("canonical_id").alias("component_id")
+    )
+
+
+def _g_host_components_duck() -> str:
+    ha = _H_DUCK.format(x="a")
+    hb = _H_DUCK.format(x="b")
+    hh = _H_DUCK.format(x="host")
+    return f"""
+    WITH RECURSIVE {_G_LINKS_CTE},
+    e AS (SELECT DISTINCT nullif(src_host, '') AS a, dst_host AS b
+          FROM links
+          WHERE kind IN ('absolute', 'proto_relative', 'relative')
+            AND dst_host IS NOT NULL AND nullif(src_host, '') IS NOT NULL),
+    e2 AS (SELECT DISTINCT {ha} AS ha, {hb} AS hb FROM e),
+    sym AS (SELECT ha AS a, hb AS b FROM e2 UNION SELECT hb, ha FROM e2),
+    walk AS (
+        SELECT a AS id, a AS reach FROM sym
+        UNION
+        SELECT w.id, s.b FROM walk w JOIN sym s ON s.a = w.reach
+    ),
+    comp AS (SELECT id, MIN(reach) AS cid FROM walk GROUP BY id),
+    hosts AS (SELECT DISTINCT host
+              FROM (SELECT a AS host FROM e UNION ALL SELECT b FROM e))
+    SELECT h.host, c.cid AS component_id
+    FROM hosts h JOIN comp c ON c.id = {hh}"""
+
+
+QUERY_FNS["g_host_components"] = _g_host_components_fn
+ORACLES["g_host_components"] = _g_host_components_duck()
+
+
 _HR_DAMPING, _HR_ITERS = 0.85, 3
 
 

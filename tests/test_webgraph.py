@@ -217,3 +217,46 @@ def test_host_of_ports_and_case(spark):
     )
     assert vals[0]["h"] == "host.example:8443"
     assert vals[1]["h"] == ""
+
+
+def test_host_components_two_islands(spark):
+    """Two disjoint link rings resolve to two components; every member of
+    a ring shares its component id, and the two ids differ."""
+    from ocr_sam_project_spark.operators.dedup import resolve_clusters
+    from ocr_sam_project_spark.operators.textstats import hash64
+
+    def page(u, hrefs):
+        html = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return (u, bytearray(html.encode()))
+
+    pages = spark.createDataFrame(
+        [
+            page("https://a1.test/", ["https://a2.test/"]),
+            page("https://a2.test/", ["https://a3.test/"]),
+            page("https://a3.test/", ["https://a1.test/"]),
+            page("https://b1.test/", ["https://b2.test/"]),
+            page("https://b2.test/", ["https://b1.test/"]),
+        ],
+        "url string, html binary",
+    )
+    edges = host_edges(extract_links(pages))
+    comp = resolve_clusters(
+        edges.select(
+            hash64(F.col("src_host")).alias("id_a"),
+            hash64(F.col("dst_host")).alias("id_b"),
+        )
+    )
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .withColumn("_h", hash64(F.col("host")))
+    )
+    got = {
+        r["host"]: r["canonical_id"]
+        for r in hosts.join(comp, hosts["_h"] == comp["doc_id"]).collect()
+    }
+    assert set(got) == {"a1.test", "a2.test", "a3.test", "b1.test", "b2.test"}
+    a_ids = {got["a1.test"], got["a2.test"], got["a3.test"]}
+    b_ids = {got["b1.test"], got["b2.test"]}
+    assert len(a_ids) == 1 and len(b_ids) == 1 and a_ids != b_ids
