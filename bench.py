@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "t_repetition",
     "t_curate_corpus",
     "t_line_dedup",
+    "t_span_dedup",
     "t_decontaminate",
     "t_domain_cap",
     "t_pii_scrub",
@@ -84,6 +85,7 @@ BENCH_QUERIES = [
     "g_host_degrees",
     "g_blocklist",
     "g_host_rank",
+    "g_host_components",
     "t_bigram_logprob",
     "s_kmeans",
     "s_topk_cosine",

@@ -968,3 +968,87 @@ def dup_ngram_frac(
             ).alias("dup_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+def span_dedup(
+    df: DataFrame, n: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-substring span dedup (the ExactSubstr rule of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), at word-
+    token granularity over the canonical form: every n-token window that
+    occurred anywhere earlier in the corpus — INCLUDING earlier in the same
+    document — is removed from the later position; only the globally first
+    occurrence (min (id, start)) of each distinct n-gram keeps its tokens.
+    A token survives iff no duplicated window covers it; documents are
+    rebuilt as the space-join of surviving canonical tokens.  Returns
+    (id, text, n_tokens, n_removed); text is '' when a document is a full
+    repeat of earlier text.  Docs with fewer than n tokens pass through
+    (canonicalized) — they contribute no windows.
+
+    The reference pipeline has no corpus-level pass at all (one document
+    per Lambda invocation, src/handlers/document_processor/app.py); this is
+    the Spark-native analog of the suffix-array dedup step every modern
+    LLM-corpus pipeline runs.
+
+    Scale shape (100 TB): the gram stream is the known, irreducible cost of
+    exact-substring dedup (~tokens-per-corpus rows, same as the suffix
+    array's input); it flows through ONE hash-shuffle on the gram
+    fingerprint for the global first-occurrence window (payload: fp + id +
+    int position — no text), and the duplicated STARTS (|dups|-sized, tiny
+    for a mostly-unique corpus) shuffle back by id.  The rebuild is
+    in-doc array work: token i is kept iff no duplicated start s satisfies
+    s <= i < s+n, an O(tokens x starts)-per-doc scan bounded by document
+    length — no corpus-sized state, no driver collect.  A pathological
+    gram shared by millions of docs lands in one fp partition but carries
+    only (id, pos) rows, and the window computes a single min."""
+    from .textstats import normalize_for_fingerprint
+
+    norm = normalize_for_fingerprint(F.col(text_col))
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(norm, " ").alias("tk"),
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .alias("n_tokens"),
+    )
+    grams = toks.filter(F.col("n_tokens") >= n).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+                lambda i: F.md5(F.array_join(F.slice(F.col("tk"), i, n), " ")),
+            )
+        ).alias("pos0", "gfp"),
+    )
+    w = Window.partitionBy("gfp")
+    starts = (
+        grams.withColumn("pos", F.col("pos0") + 1)
+        .withColumn("_winner", F.min(F.struct("id", "pos")).over(w))
+        .filter(
+            (F.col("_winner.id") != F.col("id"))
+            | (F.col("_winner.pos") != F.col("pos"))
+        )
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("_ss"))
+    )
+    joined = toks.join(starts, "id", "left").withColumn(
+        "_ss", F.coalesce("_ss", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("tk"),
+        lambda x, i: ~F.exists(
+            F.col("_ss"), lambda s: (s <= i + 1) & (i + 1 <= s + (n - 1))
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.when(F.col("n_tokens") == 0, F.lit(""))
+        .otherwise(F.array_join(kept, " "))
+        .alias("text"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(F.col("n_tokens") - F.size(kept))
+        .cast("long")
+        .alias("n_removed"),
+    )

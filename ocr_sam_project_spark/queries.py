@@ -2286,6 +2286,67 @@ QUERY_FNS["t_line_dedup"] = _t_line_dedup_fn
 ORACLES["t_line_dedup"] = _t_line_dedup_duck()
 
 
+_SPAN_N = 12
+
+
+def _t_span_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2022 ExactSubstr): every
+    12-token window seen earlier anywhere in the corpus is removed at its
+    later positions; docs rebuilt from surviving canonical tokens."""
+    from .operators.curation import span_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return span_dedup(docs, n=_SPAN_N)
+
+
+def _t_span_dedup_duck() -> str:
+    norm = _NORM_DUCK.format(x="text")
+    n = _SPAN_N
+    return f"""
+    WITH t AS (SELECT doc_id, {norm} AS nt FROM documents),
+    tk AS (SELECT doc_id, nt, string_split(nt, ' ') AS tk,
+                  CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END
+                    AS n_tok
+           FROM t),
+    grams AS (SELECT doc_id,
+                     CAST(unnest(range(1, n_tok - {n} + 2)) AS BIGINT) AS pos,
+                     tk
+              FROM tk WHERE n_tok >= {n}),
+    g AS (SELECT doc_id, pos,
+                 md5(array_to_string(tk[pos:pos + {n} - 1], ' ')) AS gfp
+          FROM grams),
+    win AS (SELECT doc_id, pos,
+                   MIN({{'doc_id': doc_id, 'pos': pos}})
+                     OVER (PARTITION BY gfp) AS w
+            FROM g),
+    dups AS (SELECT doc_id, pos FROM win
+             WHERE NOT (w.doc_id = doc_id AND w.pos = pos)),
+    toki AS (SELECT doc_id, CAST(unnest(range(1, n_tok + 1)) AS BIGINT) AS idx,
+                    tk
+             FROM tk WHERE n_tok > 0),
+    tok AS (SELECT doc_id, idx, tk[idx] AS t FROM toki),
+    removed AS (SELECT DISTINCT k.doc_id, k.idx
+                FROM tok k JOIN dups d
+                  ON d.doc_id = k.doc_id
+                 AND k.idx BETWEEN d.pos AND d.pos + {n} - 1),
+    kept AS (SELECT k.doc_id, k.idx, k.t
+             FROM tok k LEFT JOIN removed r
+               ON r.doc_id = k.doc_id AND r.idx = k.idx
+             WHERE r.doc_id IS NULL),
+    rebuilt AS (SELECT doc_id, string_agg(t, ' ' ORDER BY idx) AS text,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+    SELECT k.doc_id,
+           COALESCE(r.text, '') AS text,
+           CAST(k.n_tok AS BIGINT) AS n_tokens,
+           CAST(k.n_tok - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tk k LEFT JOIN rebuilt r ON r.doc_id = k.doc_id"""
+
+
+QUERY_FNS["t_span_dedup"] = _t_span_dedup_fn
+ORACLES["t_span_dedup"] = _t_span_dedup_duck()
+
+
 def _t_decontaminate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: the 'benchmark' is every doc with
     doc_id%97==0; any other doc sharing a word 5-gram with one of them is
@@ -3775,7 +3836,9 @@ _DRIVER_PRIORITY = [
     "d_dedup_against_store",
     "d_near_dedup_store",
     "d_url_dedup",
-    "d_ngram_jaccard",
+    # (d_ngram_jaccard displaced by t_span_dedup: its Jaccard-verify shape
+    # stays in-window inside d_minhash_lsh_portable; still pytest-gated)
+    "t_span_dedup",
     # similarity / ANN (s_topk_cosine, s_ivf_assign, s_near_dup_cosine are
     # subsumed by the batch/search/cluster composites over the same math)
     "s_topk_batch",

@@ -1082,3 +1082,49 @@ def test_dup_ngram_frac_counts_positions_with_multiplicity(spark):
     assert out[2].n_grams == 6 and out[2].dup_grams >= 2  # both copies counted
     assert out[3].dup_grams == 0 and out[3].dup_frac == 0.0
     assert out[4].n_grams == 0 and out[4].dup_frac is None
+
+
+def test_span_dedup_semantics(spark):
+    """ExactSubstr pinning: cross-doc span removal with coverage merge,
+    full-copy wipeout, sub-n passthrough, and in-doc self-repetition."""
+    from ocr_sam_project_spark.operators.curation import span_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),        # first occurrence: untouched
+            (2, "x y a b c d e z"),        # shares the 5-gram "a b c d e"
+            (3, "a b c d e f g h"),        # exact copy -> fully removed
+            (4, "p q r"),                  # < n tokens: passthrough
+            (5, "m n o p q m n o p q m"),  # self-repetition removes tail
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in span_dedup(df, n=5).collect()}
+    assert got[1]["text"] == "a b c d e f g h" and got[1]["n_removed"] == 0
+    assert got[2]["text"] == "x y z" and got[2]["n_removed"] == 5
+    assert got[3]["text"] == "" and got[3]["n_removed"] == 8
+    assert got[4]["text"] == "p q r" and got[4]["n_removed"] == 0
+    assert got[5]["text"] == "m n o p q" and got[5]["n_removed"] == 6
+    assert all(r["n_tokens"] >= r["n_removed"] for r in got.values())
+
+
+def test_span_dedup_canonicalizes_and_handles_empty(spark):
+    """Formatting variants dedup together (canonical tokens) and empty /
+    whitespace-only docs report zero tokens."""
+    from ocr_sam_project_spark.operators.curation import span_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Alpha  Beta\tGamma Delta Epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # canonical twin of 1
+            (3, "   "),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in span_dedup(df, n=5).collect()}
+    assert got[1]["text"] == "alpha beta gamma delta epsilon"
+    assert got[2]["text"] == "" and got[2]["n_removed"] == 5
+    for d in (3, 4):
+        assert got[d]["text"] == "" and got[d]["n_tokens"] == 0
+        assert got[d]["n_removed"] == 0

@@ -445,3 +445,21 @@ def test_near_store_probe_prunes_new_side_text(spark, tmp_path):
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     store_scans = [c for c in scans if "sig" in c]
     assert store_scans and all("text" not in c for c in store_scans), plan
+
+
+def test_span_dedup_plan_no_python_bounded_shuffles(spark):
+    """ExactSubstr span dedup must stay fully JVM-side (no Python eval
+    nodes anywhere — the gram stream, the first-occurrence window, and the
+    array rebuild are all codegen/HOF work) and shuffle only on the gram
+    fingerprint, the dup-starts doc key, and the rebuild join key — the
+    corpus text itself flows through at most the rebuild join, never the
+    gram window."""
+    from ocr_sam_project_spark.operators.curation import span_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(span_dedup(docs, n=12))
+    assert "Python" not in plan, plan  # no BatchEval/ArrowEval stages
+    # gfp window + starts groupBy (partial+final counts once) + join(toks,
+    # starts): a bounded constant, not O(corpus) — and no nested-loop join
+    assert 1 <= plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
