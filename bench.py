@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "g_blocklist",
     "g_host_rank",
     "g_host_components",
+    "g_html_text",
     "t_bigram_logprob",
     "s_kmeans",
     "s_topk_cosine",

@@ -330,3 +330,89 @@ def host_rank(
             .localCheckpoint(eager=False)  # bound the per-round plan tree
         )
     return ranks
+
+
+# --------------------------------------------------------------------------
+# WET conversion: html -> main text.  The single most-executed operator in
+# any web corpus pipeline (Common Crawl's WARC->WET step; CCNet/RefinedWeb/
+# FineWeb all start from it).  The reference consumes pre-extracted PDF text
+# one document at a time (src/handlers/document_processor/app.py) and has no
+# html path at all; this is the corpus-scale Spark analog.
+# RE2-safe pattern bank (no backreferences, no lookaround) so the DuckDB
+# oracle twin runs the IDENTICAL patterns.
+_COMMENT_RE = r"(?s)<!--.*?-->"
+_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script>"
+_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style>"
+# block-level elements become line breaks (both open and close tags: a
+# break on either side of the element's content is idempotent after the
+# empty-line filter).
+_BLOCK_TAG_RE = (
+    r"(?i)</?(p|br|hr|div|li|ul|ol|dl|dt|dd|h[1-6]|tr|td|th|table|thead|"
+    r"tbody|blockquote|pre|section|article|aside|nav|header|footer|form|"
+    r"figure|figcaption|main)\b[^>]*>"
+)
+_ANY_TAG_RE = r"<[^>]*>"
+# minimal entity bank, decoded in FIXED order with &amp; LAST so a
+# double-escaped '&amp;lt;' single-decodes to '&lt;' (never to '<').
+_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def html_text(col: Column) -> Column:
+    """Main-text extraction from raw html as ONE codegen expression chain:
+    strip comments/script/style, collapse source whitespace (html collapses
+    it; raw newlines are NOT breaks), turn block-level tags into line
+    breaks, drop inline tags, decode the common entities, then trim /
+    collapse / drop-empty per line.  Returns the text with '\\n' line
+    separators — the WET shape.
+
+    Contract (documented, tested): well-formed tags only (a literal '<'
+    in text that never closes eats to end — same contract as LINK_RE's
+    double-quote rule); entity bank is the common 7, numeric references
+    other than &#39; pass through."""
+    s = col.cast("string")
+    s = F.regexp_replace(s, _COMMENT_RE, " ")
+    s = F.regexp_replace(s, _SCRIPT_RE, " ")
+    s = F.regexp_replace(s, _STYLE_RE, " ")
+    s = F.regexp_replace(s, r"\s+", " ")
+    s = F.regexp_replace(s, _BLOCK_TAG_RE, "\n")
+    s = F.regexp_replace(s, _ANY_TAG_RE, "")
+    for ent, ch in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    lines = F.transform(
+        F.split(s, "\n"),
+        lambda x: F.trim(F.regexp_replace(x, r" +", " ")),
+    )
+    kept = F.filter(lines, lambda x: x != "")
+    return F.array_join(kept, "\n")
+
+
+def html_to_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """WET conversion over a pages table: every column except the html
+    passes through; html is replaced by the extracted main text plus
+    (n_lines, n_chars) stats the downstream quality gates key on.
+
+    Scale shape (100 TB of WARC): a pure-codegen narrow map — the scan IS
+    the job; zero shuffles, zero Python, no per-row state.  Pages differ
+    wildly in size but each row's cost is bounded by its own html bytes
+    (regex passes are linear — the pattern bank is backtracking-safe:
+    every '.*?' is bounded by a required literal terminator), so skew =
+    input skew, which the parquet split planner already handles."""
+    text = html_text(F.col(html_col))
+    keep = [c for c in df.columns if c != html_col]
+    return df.select(
+        *keep,
+        text.alias(out_col),
+    ).select(
+        *keep,
+        out_col,
+        F.when(F.col(out_col) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col(out_col), "\n")))
+        .cast("int")
+        .alias("n_lines"),
+        F.length(out_col).cast("int").alias("n_chars"),
+    )

@@ -3810,6 +3810,81 @@ QUERY_FNS["g_host_rank"] = _g_host_rank_fn
 ORACLES["g_host_rank"] = _g_host_rank_duck()
 
 
+# --- WET conversion (webgraph.html_to_text): html -> main text ------------
+# Both engines synthesize the SAME closed-form html around the REAL document
+# text (title/style/script/comment/entities/list/footer all exercised), so
+# the strip/decode/line-normalize chain is value-exact across engines.
+_G_WET_HTML = (
+    "concat('<html><head><title>Doc ', CAST(doc_id AS STRING), '</title>', "
+    "'<style>body { color: #333; }</style>', "
+    "'<script type=\"text/javascript\">var p = \"<p>not text</p>\";</script>', "
+    "'</head><body><h1>Doc &amp; title ', CAST(doc_id AS STRING), '</h1>', "
+    "'<!-- hidden ', CAST(doc_id % 5 AS STRING), ' -->', "
+    "'<p>', text, '</p>', "
+    "CASE WHEN doc_id % 2 = 0 THEN concat('<ul><li>item&nbsp;', "
+    "CAST(doc_id % 7 AS STRING), "
+    "'</li><li>&quot;quoted&#39;s&quot;</li></ul>') ELSE '' END, "
+    "'<div class=\"footer\">pie &lt;fin&gt;</div></body></html>')"
+)
+
+
+def _g_html_text_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET conversion: strip script/style/comments, block tags -> line
+    breaks, inline tags dropped, entities decoded, lines trimmed/collapsed
+    /non-empty — the WARC->WET step every web corpus pipeline starts from."""
+    from .operators.webgraph import html_to_text
+
+    pages = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", f"CAST({_G_WET_HTML} AS BINARY) AS html"
+    )
+    return html_to_text(pages)
+
+
+def _g_html_text_duck() -> str:
+    # the IDENTICAL RE2-safe pattern bank as webgraph.html_text, stage for
+    # stage; DuckDB needs the 'g' option (Spark regexp_replace is global)
+    # and COALESCE (array_to_string of an empty list yields NULL there).
+    return rf"""
+    WITH p AS (SELECT doc_id, {_G_WET_HTML} AS s FROM documents),
+    s1 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s
+           FROM p),
+    s2 AS (SELECT doc_id,
+                  regexp_replace(s, '(?is)<script\b[^>]*>.*?</script>', ' ',
+                                 'g') AS s FROM s1),
+    s3 AS (SELECT doc_id,
+                  regexp_replace(s, '(?is)<style\b[^>]*>.*?</style>', ' ',
+                                 'g') AS s FROM s2),
+    s4 AS (SELECT doc_id, regexp_replace(s, '\s+', ' ', 'g') AS s FROM s3),
+    s5 AS (SELECT doc_id,
+                  regexp_replace(s,
+                    '(?i)</?(p|br|hr|div|li|ul|ol|dl|dt|dd|h[1-6]|tr|td|th'
+                    '|table|thead|tbody|blockquote|pre|section|article|aside'
+                    '|nav|header|footer|form|figure|figcaption|main)\b[^>]*>',
+                    chr(10), 'g') AS s FROM s4),
+    s6 AS (SELECT doc_id, regexp_replace(s, '<[^>]*>', '', 'g') AS s FROM s5),
+    s7 AS (SELECT doc_id,
+                  replace(replace(replace(replace(replace(replace(replace(s,
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                    '&amp;', '&') AS s FROM s6),
+    s8 AS (SELECT doc_id,
+                  COALESCE(array_to_string(list_filter(list_transform(
+                    string_split(s, chr(10)),
+                    x -> trim(regexp_replace(x, ' +', ' ', 'g'))),
+                    x -> x <> ''), chr(10)), '') AS text
+           FROM s7)
+    SELECT doc_id, text,
+           CAST(CASE WHEN text = '' THEN 0
+                     ELSE len(string_split(text, chr(10))) END AS INT)
+             AS n_lines,
+           CAST(length(text) AS INT) AS n_chars
+    FROM s8"""
+
+
+QUERY_FNS["g_html_text"] = _g_html_text_fn
+ORACLES["g_html_text"] = _g_html_text_duck()
+
+
 # ===========================================================================
 # Driver-window ordering
 # ===========================================================================

@@ -463,3 +463,18 @@ def test_span_dedup_plan_no_python_bounded_shuffles(spark):
     # starts): a bounded constant, not O(corpus) — and no nested-loop join
     assert 1 <= plan.count("Exchange hashpartitioning") <= 4, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_html_to_text_is_narrow(spark):
+    """WET conversion must be a pure-codegen narrow map: zero Exchange,
+    zero aggregates, zero Python eval nodes — the parquet scan IS the job,
+    so at 100 TB the operator adds nothing beyond the read."""
+    from ocr_sam_project_spark.operators.webgraph import html_to_text
+
+    pages = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).selectExpr("doc_id", "CAST(text AS BINARY) AS html")
+    plan = _plan(html_to_text(pages))
+    assert "Exchange" not in plan, plan
+    assert "Aggregate" not in plan, plan
+    assert "Python" not in plan, plan

@@ -260,3 +260,49 @@ def test_host_components_two_islands(spark):
     a_ids = {got["a1.test"], got["a2.test"], got["a3.test"]}
     b_ids = {got["b1.test"], got["b2.test"]}
     assert len(a_ids) == 1 and len(b_ids) == 1 and a_ids != b_ids
+
+
+def test_html_to_text_wet_semantics(spark):
+    """WET conversion pinning: script/style/comment stripped (script body
+    with a fake '<p>' inside never leaks), block tags break lines, inline
+    tags vanish without inserting spaces, raw source newlines are NOT
+    breaks (html collapses whitespace), the entity bank decodes with &amp;
+    last (double-escaped '&amp;lt;' single-decodes to '&lt;'), and empty /
+    script-only pages yield ('', 0, 0)."""
+    from ocr_sam_project_spark.operators.webgraph import html_to_text
+
+    df = spark.createDataFrame(
+        [
+            (1, '<head><style>p {c:1}</style><script>var a="<p>hi</p>";'
+                '</script></head><body><h1>T&amp;1</h1><p>a  b</p>'
+                '<div>c&nbsp;d</div><!-- zz --></body>'),
+            (2, "raw\ntext\nnewlines"),            # one line, not three
+            (3, "x &amp;lt; y &#39;q&apos; in<b>line</b>"),
+            (4, "<ul><li>one</li><li>two</li></ul>tail"),
+            (5, ""),
+            (6, "<script>only</script>"),
+            (7, "a<br/>b<br >c"),
+        ],
+        "doc_id int, html string",
+    )
+    got = {r.doc_id: (r.text, r.n_lines, r.n_chars)
+           for r in html_to_text(df).collect()}
+    assert got[1] == ("T&1\na b\nc d", 3, 11)
+    assert got[2] == ("raw text newlines", 1, 17)
+    assert got[3] == ("x &lt; y 'q' inline", 1, 19)
+    assert got[4] == ("one\ntwo\ntail", 3, 12)
+    assert got[5] == ("", 0, 0)
+    assert got[6] == ("", 0, 0)
+    assert got[7] == ("a\nb\nc", 3, 5)
+
+
+def test_html_to_text_passthrough_columns(spark):
+    """Every non-html column survives; html itself is dropped."""
+    from ocr_sam_project_spark.operators.webgraph import html_to_text
+
+    df = spark.createDataFrame(
+        [(1, "u1", "<p>x</p>")], "doc_id int, url string, html string"
+    )
+    out = html_to_text(df)
+    assert out.columns == ["doc_id", "url", "text", "n_lines", "n_chars"]
+    assert out.collect()[0].url == "u1"
