@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "g_host_rank",
     "g_host_components",
     "g_html_text",
+    "d_bloom_store_dedup",
     "t_bigram_logprob",
     "s_kmeans",
     "s_topk_cosine",

@@ -814,3 +814,171 @@ def quality_canonical(
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Broadcast Bloom-filter admission tier for cross-run dedup.  At 100 TB the
+# fp store is billions of rows; dedup_against_store's anti-join shuffles the
+# whole NEW batch on fp even though almost none of it is in the store.  A
+# Bloom bitset built over the store admits the non-duplicates with ZERO
+# join: misses are definitely-new (no false negatives), and only the tiny
+# bloom-HIT slice (true dups + the designed FP rate) pays the exact verify
+# anti-join.  The reference has no corpus state at all (per-document Lambda,
+# src/services/storage_service.py); this is the standard streaming-systems
+# admission filter rebuilt Spark-side.
+#
+# Hash family: position_j(fp) = hash64(fp || ':' || j) % m_bits with the
+# md5-portable hash64 (conv(substring(md5(x),1,14),16,10) — 56-bit, always
+# positive, bit-identical in DuckDB), so bloom membership itself is
+# oracle-checkable: bit set  <=>  some store fp maps to that position.
+def bloom_positions(fp: Column, m_bits: int, k: int) -> Column:
+    """array<long> of the k bloom bit positions of one fingerprint."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(fp, F.lit(f":{j}"))), 1, 14), 16, 10
+                ).cast("long")
+                % m_bits
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    fp_store: DataFrame, m_bits: int = 1 << 20, k: int = 4, fp_col: str = "fp"
+) -> list[int]:
+    """Dense little-endian word list (len = m_bits/64) of the store's Bloom
+    bitset, built DISTRIBUTIVELY: explode each fp's k positions, one
+    hash-shuffle on the word index (output cardinality <= m_bits/64 — the
+    filter size, not the store size), BIT_OR the single-bit masks, collect.
+    The collect is bounded metadata (m_bits/64 longs — same contract as
+    kmeans' k x dim centroid collect), NOT corpus data: m_bits = 2^20 is
+    16 K longs.  Sizing: ~10 bits per stored fp gives ~1% FP at k=4-7, so
+    the literal path serves stores up to ~10^7 fps (m = 2^27, a 16 MB
+    broadcast literal); beyond that use bloom_hit_arrow's numpy-broadcast
+    path."""
+    n_words = (m_bits + 63) // 64
+    rows = (
+        fp_store.select(
+            F.explode(bloom_positions(F.col(fp_col), m_bits, k)).alias("pos")
+        )
+        .groupBy(F.shiftright(F.col("pos"), 6).alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    words = [0] * n_words
+    for r in rows:
+        words[r["word"]] = r["bits"]
+    return words
+
+
+def bloom_hit(fp: Column, words: list[int], m_bits: int, k: int) -> Column:
+    """Boolean column: all k positions set in the bitset — pure codegen
+    (literal array + element_at + bit math), no join, no Python, no
+    shuffle.  False negatives impossible by construction."""
+    lit_words = F.lit(words).cast("array<bigint>")
+    cond = F.lit(True)
+    for j in range(k):
+        p = (
+            F.conv(
+                F.substring(F.md5(F.concat(fp, F.lit(f":{j}"))), 1, 14), 16, 10
+            ).cast("long")
+            % m_bits
+        )
+        word = F.element_at(lit_words, (F.shiftright(p, 6) + 1).cast("int"))
+        # per-row shift amount: the python F.shiftright wrapper only takes
+        # an int, but the underlying SQL function shifts by an expression
+        bit = F.call_function(
+            "shiftright", word, (p % 64).cast("int")
+        ).bitwiseAND(F.lit(1).cast("bigint"))
+        cond = cond & (bit == 1)
+    return cond
+
+
+def bloom_probe_table(
+    new_df: DataFrame,
+    words: list[int],
+    fp_store: DataFrame,
+    m_bits: int,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Diagnostic/audit shape: (id, bloom_hit, is_dup) for every new-batch
+    doc.  is_dup is ground truth (exact store membership); a row with
+    bloom_hit and NOT is_dup is a false positive — the measurable design
+    trade.  bloom_hit AND NOT is_dup rows are exactly what the verify
+    anti-join pays for; is_dup AND NOT bloom_hit is impossible (asserted by
+    the oracle twin).  The exact join here is for the AUDIT; production
+    uses dedup_against_store_bloom where only the hit slice joins."""
+    fps = new_df.select(
+        F.col(id_col),
+        F.md5(normalize_for_fingerprint(F.col(text_col))).alias("_fp"),
+    )
+    probed = fps.select(
+        id_col, "_fp", bloom_hit(F.col("_fp"), words, m_bits, k).alias("bloom_hit")
+    )
+    return probed.join(
+        fp_store.select(F.col("fp").alias("_fp")).withColumn("_in", F.lit(True)),
+        "_fp",
+        "left",
+    ).select(
+        id_col,
+        "bloom_hit",
+        F.coalesce(F.col("_in"), F.lit(False)).alias("is_dup"),
+    )
+
+
+def dedup_against_store_bloom(
+    new_df: DataFrame,
+    fp_store: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words: list[int] | None = None,
+) -> DataFrame:
+    """dedup_against_store with the Bloom admission tier: identical OUTPUT
+    (the verify anti-join removes every false positive; false negatives
+    cannot occur), but only the bloom-HIT slice of the new batch reaches
+    the store join — bloom misses are admitted join-free.  At a 1% FP rate
+    the anti-join input shrinks from |new| to |true dups| + 1% of |new|.
+
+    Scale shape: bitset build is one word-keyed shuffle of the STORE (or
+    pass precomputed `words` persisted at ingest — the store is not even
+    scanned); the probe is a narrow codegen filter over the new batch; the
+    in-batch keep-one window and the residual anti-join are the only
+    corpus shuffles, and the anti-join side is now tiny so Spark broadcasts
+    it when the store is bucketed the other way."""
+    from pyspark.sql import Window
+
+    if words is None:
+        words = bloom_build(fp_store, m_bits=m_bits, k=k)
+    nonempty = F.length(F.trim(F.col(text_col))) > 0
+    fps = new_df.withColumn(
+        "_fp",
+        F.when(nonempty, F.md5(normalize_for_fingerprint(F.col(text_col)))).otherwise(
+            F.concat(F.lit("empty:"), F.col(id_col).cast("string"))
+        ),
+    )
+    w = Window.partitionBy("_fp")
+    batch_kept = (
+        fps.withColumn("_keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
+        .withColumn("_hit", bloom_hit(F.col("_fp"), words, m_bits, k))
+    )
+    misses = batch_kept.filter(~F.col("_hit")).drop("_hit", "_fp")
+    hits_kept = (
+        batch_kept.filter(F.col("_hit"))
+        .drop("_hit")
+        .join(fp_store.select(F.col("fp").alias("_fp")), "_fp", "left_anti")
+        .drop("_fp")
+    )
+    return misses.unionByName(hits_kept)

@@ -2216,6 +2216,85 @@ QUERY_FNS["d_dedup_against_store"] = _d_store_fn
 ORACLES["d_dedup_against_store"] = _d_store_duck()
 
 
+# --- Bloom admission tier over the same store scenario ---------------------
+# d_bloom_hits runs an UNDERSIZED filter (m=1024 over ~190 stored fps) so
+# false positives deterministically occur and are oracle-checked; the
+# dedup query runs a production-sized filter.  Bloom membership is exactly
+# SQL-expressible: bit set <=> some store fp hashes to that position.
+_BLOOM_M_SMALL, _BLOOM_M, _BLOOM_K = 1024, 65536, 4
+
+
+def _bloom_scenario(spark: SparkSession, sf_dir: str):
+    from .operators.dedup import corpus_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prior = docs.filter(F.col("doc_id") % 3 == 0)
+    store = corpus_fingerprints(prior, id_col="doc_id").select("fp")
+    recrawl = prior.filter(F.col("doc_id") % 9 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    new_batch = docs.filter(F.col("doc_id") % 3 != 0).unionByName(recrawl)
+    return new_batch, store
+
+
+def _d_bloom_hits_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per new-batch doc: did the broadcast Bloom bitset admit it, and is
+    it truly in the store — false positives visible, false negatives
+    provably absent (the oracle computes both from the same hash math)."""
+    from .operators.dedup import bloom_build, bloom_probe_table
+
+    new_batch, store = _bloom_scenario(spark, sf_dir)
+    words = bloom_build(store, m_bits=_BLOOM_M_SMALL, k=_BLOOM_K)
+    return bloom_probe_table(
+        new_batch, words, store, _BLOOM_M_SMALL, _BLOOM_K, id_col="doc_id"
+    )
+
+
+def _d_bloom_hits_duck() -> str:
+    norm = _NORM_DUCK.format(x="text")
+    h = _H_DUCK.format(x="fp || ':' || CAST(j AS VARCHAR)")
+    return f"""
+    WITH fps AS (SELECT doc_id, md5({norm}) AS fp FROM documents),
+    prior AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 = 0),
+    newb AS (
+        SELECT doc_id, fp FROM fps WHERE doc_id % 3 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, fp FROM fps
+        WHERE doc_id % 3 = 0 AND doc_id % 9 = 0
+    ),
+    js AS (SELECT unnest(range(0, {_BLOOM_K})) AS j),
+    spos AS (SELECT DISTINCT {h} % {_BLOOM_M_SMALL} AS p
+             FROM prior CROSS JOIN js),
+    npos AS (SELECT doc_id, {h} % {_BLOOM_M_SMALL} AS p
+             FROM newb CROSS JOIN js),
+    hit AS (SELECT n.doc_id, COUNT(s.p) = {_BLOOM_K} AS bloom_hit
+            FROM npos n LEFT JOIN spos s ON s.p = n.p GROUP BY n.doc_id)
+    SELECT h.doc_id, h.bloom_hit,
+           (n.fp IN (SELECT fp FROM prior)) AS is_dup
+    FROM hit h JOIN newb n ON n.doc_id = h.doc_id"""
+
+
+QUERY_FNS["d_bloom_hits"] = _d_bloom_hits_fn
+ORACLES["d_bloom_hits"] = _d_bloom_hits_duck()
+
+
+def _d_bloom_store_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run dedup through the Bloom admission tier: identical result
+    to d_dedup_against_store (verify anti-join removes false positives,
+    false negatives impossible) with only the bloom-hit slice joining the
+    store — the oracle IS the exact path's SQL."""
+    from .operators.dedup import dedup_against_store_bloom
+
+    new_batch, store = _bloom_scenario(spark, sf_dir)
+    return dedup_against_store_bloom(
+        new_batch, store, m_bits=_BLOOM_M, k=_BLOOM_K, id_col="doc_id"
+    ).select("doc_id")
+
+
+QUERY_FNS["d_bloom_store_dedup"] = _d_bloom_store_dedup_fn
+ORACLES["d_bloom_store_dedup"] = _d_store_duck()
+
+
 # ===========================================================================
 # Corpus curation beyond whole-doc dedup: line dedup / decontamination /
 # domain caps (operators/curation.py)
@@ -3907,7 +3986,10 @@ _DRIVER_PRIORITY = [
     "d_lsh_clusters",
     "d_minhash_lsh_portable",
     "d_simhash_clusters",
-    "d_exact_dedup",
+    # (d_exact_dedup displaced by d_bloom_hits: its keep-one-min-id rule is
+    # pinned in-window by d_dedup_against_store's in-batch tier and the
+    # t_curate_corpus funnel; still pytest-gated)
+    "d_bloom_hits",
     "d_dedup_against_store",
     "d_near_dedup_store",
     "d_url_dedup",
@@ -3960,7 +4042,9 @@ _DRIVER_PRIORITY = [
     "a9_rollup",
     "w4_tumbling_window",
     "w5_sessionize",
-    "j4_taxonomy_join",
+    # (j4_taxonomy_join displaced by g_html_text: the broadcast equi-join
+    # shape stays in-window via x8_enrich_inject; still pytest-gated)
+    "g_html_text",
     "j5_asof_join",
     # --- 50-row window boundary: everything below still runs in the pytest
     # all-oracle parity gate (x1's bank is in-window via pipeline_cedulas;
@@ -3969,6 +4053,9 @@ _DRIVER_PRIORITY = [
     # columns hash-verify inside pipeline_fields_parity; winnow/mixture
     # displaced by kmeans/near-store/bigram, families in-window via
     # m_binary_features fingerprint + domain_cap/token_budget sampling) ---
+    "d_exact_dedup",
+    "j4_taxonomy_join",
+    "d_bloom_store_dedup",
     "x3_validation_score",
     "t_winnow_fingerprint",
     "t_mixture_sample",

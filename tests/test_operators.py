@@ -1128,3 +1128,66 @@ def test_span_dedup_canonicalizes_and_handles_empty(spark):
     for d in (3, 4):
         assert got[d]["text"] == "" and got[d]["n_tokens"] == 0
         assert got[d]["n_removed"] == 0
+
+
+def test_bloom_dedup_no_false_negatives_and_exact_equivalence(spark):
+    """The Bloom admission tier must produce the IDENTICAL survivor set as
+    the exact anti-join (verify removes false positives; false negatives
+    are structurally impossible), even with a deliberately undersized
+    filter where most probes are false positives."""
+    from ocr_sam_project_spark.operators.dedup import (
+        bloom_build, bloom_probe_table, corpus_fingerprints,
+        dedup_against_store, dedup_against_store_bloom)
+    import pyspark.sql.functions as F
+
+    prior = spark.createDataFrame(
+        [(i, f"stored text number {i}") for i in range(40)],
+        "doc_id int, text string",
+    )
+    store = corpus_fingerprints(prior).select("fp")
+    new = spark.createDataFrame(
+        [(100 + i, f"fresh text number {i}") for i in range(40)]
+        + [(200 + i, f"stored text number {i}") for i in range(0, 40, 5)]
+        + [(300, ""), (301, "   ")],  # empty texts keep their provenance
+        "doc_id int, text string",
+    )
+    for m in (64, 1 << 16):  # undersized (FP-heavy) and production-sized
+        words = bloom_build(store, m_bits=m, k=4)
+        probe = bloom_probe_table(new.filter("doc_id < 300"), words, store, m, 4)
+        fn = probe.filter(F.col("is_dup") & ~F.col("bloom_hit")).count()
+        assert fn == 0  # no false negatives, ever
+        a = sorted(r.doc_id for r in dedup_against_store(new, store).collect())
+        b = sorted(
+            r.doc_id
+            for r in dedup_against_store_bloom(new, store, m_bits=m, k=4).collect()
+        )
+        assert a == b
+        assert 300 in b and 301 in b  # empty-text provenance bypass
+    # undersized filter really does fire false positives (the trade exists)
+    words = bloom_build(store, m_bits=64, k=4)
+    fp_rows = (
+        bloom_probe_table(new.filter("doc_id < 300"), words, store, 64, 4)
+        .filter(F.col("bloom_hit") & ~F.col("is_dup"))
+        .count()
+    )
+    assert fp_rows > 0
+
+
+def test_bloom_precomputed_words_skip_store_build(spark):
+    """Ingest can persist the word list; passing it skips the build job —
+    the store is then touched ONLY by the residual anti-join."""
+    from ocr_sam_project_spark.operators.dedup import (
+        bloom_build, corpus_fingerprints, dedup_against_store_bloom)
+
+    prior = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id int, text string"
+    )
+    store = corpus_fingerprints(prior).select("fp")
+    new = spark.createDataFrame(
+        [(100, "doc 3"), (101, "brand new")], "doc_id int, text string"
+    )
+    words = bloom_build(store, m_bits=4096, k=4)
+    out = dedup_against_store_bloom(
+        new, store, m_bits=4096, k=4, words=words
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [101]

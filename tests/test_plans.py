@@ -478,3 +478,20 @@ def test_html_to_text_is_narrow(spark):
     assert "Exchange" not in plan, plan
     assert "Aggregate" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_bloom_probe_is_narrow_codegen(spark):
+    """The Bloom probe must be a pure codegen filter: the bitset rides in
+    the plan as ONE array literal — no join, no Exchange, no Python — so
+    at 100 TB the admission decision costs exactly one narrow pass."""
+    from ocr_sam_project_spark.operators.dedup import bloom_hit
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    probed = docs.filter(
+        bloom_hit(F.md5(F.col("text")), [0] * 64, 4096, 4)
+    ).select("doc_id")
+    plan = _plan(probed)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
