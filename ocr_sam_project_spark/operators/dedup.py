@@ -982,3 +982,63 @@ def dedup_against_store_bloom(
         .drop("_fp")
     )
     return misses.unionByName(hits_kept)
+
+
+def bloom_probe_arrow(
+    df: DataFrame,
+    words: list[int],
+    m_bits: int,
+    k: int,
+    fp_col: str = "_fp",
+    out_col: str = "_hit",
+) -> DataFrame:
+    """Jumbo-bitset probe: the literal-array path embeds the bitset in the
+    plan, which stops being reasonable past ~2^27 bits (16 MB of plan per
+    task).  Here the bitset rides a TorrentBroadcast (shipped to each
+    executor once, shared by all its tasks) and the probe is an
+    Arrow-batched numpy pass: vectorized md5 via hashlib over the batch,
+    k position extractions, two fancy-indexing lookups — no join, no
+    shuffle, and memory bounded by (batch x k) int64s.  Semantics are
+    BIT-IDENTICAL to bloom_hit (same md5-portable hash family; pinned by
+    test_bloom_arrow_matches_literal_path), so the exact-verify identity
+    theorem carries over unchanged.
+
+    At 100 TB: a 10^10-fp store at ~10 bits/fp is a 12.5 GB bitset —
+    beyond driver literals but fine as a broadcast on 64-128 GB executors;
+    beyond THAT, shard the store by fp prefix and run one bloom per shard
+    (the probe composes: hit = hit_any_shard only when shards partition
+    the fp space, which a prefix shard does)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    sc = df.sparkSession.sparkContext
+    arr = np.array(words, dtype=np.int64)
+    b_words = sc.broadcast(arr)
+    fields = df.schema.fields
+    out_schema = T.StructType(fields + [T.StructField(out_col, T.BooleanType())])
+    cols = [f.name for f in fields]
+
+    def probe(batches):
+        import hashlib
+
+        w = b_words.value
+        for pdf in batches:
+            fps = pdf[fp_col].astype(str).to_numpy()
+            hit = np.ones(len(pdf), dtype=bool)
+            for j in range(k):
+                suffix = f":{j}".encode()
+                pos = np.fromiter(
+                    (
+                        int(hashlib.md5(f.encode() + suffix).hexdigest()[:14], 16)
+                        % m_bits
+                        for f in fps
+                    ),
+                    dtype=np.int64,
+                    count=len(fps),
+                )
+                hit &= (w[pos >> 6] >> (pos & 63)) & 1 == 1
+            pdf[out_col] = hit
+            yield pdf
+
+    return df.mapInPandas(probe, schema=out_schema)

@@ -85,11 +85,18 @@ def with_part_id(pages: DataFrame, num_parts: int = DEFAULT_NUM_PARTS) -> DataFr
 
 
 def completed_parts(spark: SparkSession, lineage_path: str) -> list[int]:
-    """part_ids whose LATEST lineage row says completed."""
-    try:
-        lin = spark.read.parquet(lineage_path)
-    except Exception:
+    """part_ids whose LATEST lineage row says completed.
+
+    A MISSING path means "first run" (no parts done); a path that exists
+    but fails to read must RAISE — treating a corrupt lineage table as
+    empty would silently re-run every part (safe only because writes are
+    idempotent, but masking the corruption; same contract as the fp-store
+    read below)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(lineage_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         return []
+    lin = spark.read.parquet(lineage_path)
     latest = (
         lin.groupBy("part_id")
         .agg(F.max_by("status", "updated_at").alias("status"))

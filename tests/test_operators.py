@@ -1191,3 +1191,37 @@ def test_bloom_precomputed_words_skip_store_build(spark):
         new, store, m_bits=4096, k=4, words=words
     )
     assert sorted(r.doc_id for r in out.collect()) == [101]
+
+
+def test_bloom_arrow_matches_literal_path(spark):
+    """The jumbo-bitset Arrow probe must be bit-identical to the codegen
+    literal-array probe — same md5-portable hash family, same verdicts —
+    so the exact-verify identity theorem carries to broadcast-sized
+    bitsets."""
+    import pyspark.sql.functions as F
+    from ocr_sam_project_spark.operators.dedup import (
+        bloom_build, bloom_hit, bloom_probe_arrow, corpus_fingerprints)
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i % 23} variant {i % 7}") for i in range(200)],
+        "doc_id int, text string",
+    )
+    store = corpus_fingerprints(docs.filter("doc_id % 4 = 0")).select("fp")
+    M, K = 512, 4  # undersized on purpose: FPs must agree too
+    words = bloom_build(store, m_bits=M, k=K)
+    fps = docs.select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("_fp"),
+    )
+    lit = {
+        r.doc_id: r.hit
+        for r in fps.select(
+            "doc_id", bloom_hit(F.col("_fp"), words, M, K).alias("hit")
+        ).collect()
+    }
+    arrow = {
+        r.doc_id: r._hit
+        for r in bloom_probe_arrow(fps, words, M, K).collect()
+    }
+    assert lit == arrow
+    assert any(lit.values()) and not all(lit.values())  # both verdicts occur
