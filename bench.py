@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "g_host_components",
     "g_html_text",
     "d_bloom_store_dedup",
+    "g_wet_curate",
     "t_bigram_logprob",
     "s_kmeans",
     "s_topk_cosine",

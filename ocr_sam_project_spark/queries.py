@@ -1123,18 +1123,14 @@ QUERY_FNS["t_quality"] = _t_quality_fn
 ORACLES["t_quality"] = _t_quality_duck()
 
 
-def _t_curate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The training-corpus curation funnel as ONE composed query — what the
-    individual operators exist for: exact dedup (keep-one) -> quality gate
-    (score >= 0.5) -> repetition gate (dup_token_frac <= 0.6 AND
-    adjacent_repeat_frac <= 0.1, on the rounded stats) -> language id ->
-    per-language doc/token rollup.  avg_quality accumulates via
-    DECIMAL(18,6) so the cross-engine sum is order-independent (float +=
-    is not associative across partitions)."""
+def _curate_funnel(df: DataFrame) -> DataFrame:
+    """The curation funnel over any (doc_id, text) frame: exact dedup
+    (keep-one) -> quality gate -> repetition gate -> lang id -> per-lang
+    rollup.  Shared by t_curate_corpus (parquet text) and g_wet_curate
+    (WET-extracted text)."""
     from .operators.dedup import dedup_keep
     from .operators.textstats import lang_id, quality_score, repetition_stats, token_count
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     kept = dedup_keep(df, "exact", text_col="text", id_col="doc_id")
     c = F.col("text")
     gated = repetition_stats(
@@ -1155,7 +1151,18 @@ def _t_curate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _t_curate_duck() -> str:
+def _t_curate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus curation funnel as ONE composed query — what the
+    individual operators exist for: exact dedup (keep-one) -> quality gate
+    (score >= 0.5) -> repetition gate (dup_token_frac <= 0.6 AND
+    adjacent_repeat_frac <= 0.1, on the rounded stats) -> language id ->
+    per-language doc/token rollup.  avg_quality accumulates via
+    DECIMAL(18,6) so the cross-engine sum is order-independent (float +=
+    is not associative across partitions)."""
+    return _curate_funnel(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _t_curate_duck(src_ctes: str = "", src: str = "documents") -> str:
     from .operators.textstats import LANG_MARKERS
 
     norm = _NORM_DUCK.format(x="text")
@@ -1176,7 +1183,7 @@ def _t_curate_duck() -> str:
     ntok = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_DUCK.format(x='text')}) END"
     rtoks = _TOKS_DUCK.format(x="text")
     return f"""
-    WITH fp AS (SELECT doc_id, text, md5({norm}) AS fp FROM documents),
+    WITH {src_ctes}fp AS (SELECT doc_id, text, md5({norm}) AS fp FROM {src}),
     keep AS (SELECT doc_id, text FROM (
                SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
                FROM fp) t WHERE doc_id = keep_id),
@@ -3919,12 +3926,12 @@ def _g_html_text_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_to_text(pages)
 
 
-def _g_html_text_duck() -> str:
+def _wet_ctes() -> str:
     # the IDENTICAL RE2-safe pattern bank as webgraph.html_text, stage for
     # stage; DuckDB needs the 'g' option (Spark regexp_replace is global)
     # and COALESCE (array_to_string of an empty list yields NULL there).
-    return rf"""
-    WITH p AS (SELECT doc_id, {_G_WET_HTML} AS s FROM documents),
+    # Ends in s8(doc_id, text) — the WET output shape.
+    return rf"""p AS (SELECT doc_id, {_G_WET_HTML} AS s FROM documents),
     s1 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s
            FROM p),
     s2 AS (SELECT doc_id,
@@ -3951,7 +3958,12 @@ def _g_html_text_duck() -> str:
                     string_split(s, chr(10)),
                     x -> trim(regexp_replace(x, ' +', ' ', 'g'))),
                     x -> x <> ''), chr(10)), '') AS text
-           FROM s7)
+           FROM s7)"""
+
+
+def _g_html_text_duck() -> str:
+    return f"""
+    WITH {_wet_ctes()}
     SELECT doc_id, text,
            CAST(CASE WHEN text = '' THEN 0
                      ELSE len(string_split(text, chr(10))) END AS INT)
@@ -3962,6 +3974,30 @@ def _g_html_text_duck() -> str:
 
 QUERY_FNS["g_html_text"] = _g_html_text_fn
 ORACLES["g_html_text"] = _g_html_text_duck()
+
+
+def _g_wet_curate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END web pipeline in one plan: raw html -> WET main-text
+    extraction -> exact dedup -> quality gate -> repetition gate -> lang id
+    -> per-language doc/token rollup.  The WET output is lazily
+    localCheckpointed before the funnel: the funnel consumes its input
+    TWICE (the |dups|-sized loser branch and the survivor stream), and
+    without the checkpoint Spark re-runs the whole WET regex chain per
+    consumer — the shared-subtree trap.  Checkpointed, the html corpus is
+    scanned and converted exactly once (plan-tested)."""
+    from .operators.webgraph import html_to_text
+
+    pages = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", f"CAST({_G_WET_HTML} AS BINARY) AS html"
+    )
+    wet = html_to_text(pages).select("doc_id", "text").localCheckpoint(eager=False)
+    return _curate_funnel(wet)
+
+
+QUERY_FNS["g_wet_curate"] = _g_wet_curate_fn
+ORACLES["g_wet_curate"] = _t_curate_duck(
+    src_ctes=_wet_ctes().lstrip() + ",\n    ", src="s8"
+)
 
 
 # ===========================================================================

@@ -495,3 +495,18 @@ def test_bloom_probe_is_narrow_codegen(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_wet_curate_single_corpus_scan(spark):
+    """The WARC->WET->curate composite must run the WET regex chain ONCE:
+    the funnel consumes its input twice (loser branch + survivor stream),
+    so the WET output is lazily checkpointed — the downstream plan scans
+    parquet ZERO times (the one scan+conversion lives in the checkpoint's
+    upstream job; both funnel branches read the materialized RDD), same
+    convention as the tfidf single-scan guard above."""
+    from ocr_sam_project_spark.queries import QUERY_FNS
+
+    plan = _plan(QUERY_FNS["g_wet_curate"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan  # both read the SAME rdd
+    assert "Python" not in plan, plan
