@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "g_html_text",
     "d_bloom_store_dedup",
     "g_wet_curate",
+    "s_quantize",
+    "s_topk_quantized",
     "t_bigram_logprob",
     "s_kmeans",
     "s_topk_cosine",

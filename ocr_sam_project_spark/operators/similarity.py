@@ -708,3 +708,72 @@ def kmeans_fit(
         id_col, "cluster_id", "sim"
     )
     return final, cent
+
+
+# --------------------------------------------------------------------------
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the ANN memory-scale path:
+    scale = round(max|x|, 9), q_i = round(x_i * 127 / scale) as TINYINT.
+    4x smaller than float32 at rest and in shuffle payloads (the
+    join-payload-width lesson: byte arrays through an Exchange cost a
+    quarter of float arrays), and cosine over the int arrays needs NO
+    dequantization — cosine is scale-invariant, so the per-vector scale
+    cancels and is carried only for dot-product reconstruction.
+
+    Zero vectors quantize to all-zero with scale 0 (no division).  All
+    arithmetic is double-precision with fixed rounding (scale 9 dp, HALF_UP
+    on the quant step — identical in DuckDB), so the quantization itself is
+    oracle-exact.  Narrow codegen: no shuffle, no Python.
+
+    Returns (id, scale, qemb array<tinyint>)."""
+    a = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # scale materialized as its OWN projection first: referencing the
+    # array_max subtree inside the quant lambda would re-evaluate it per
+    # element (the HOF capture trap — O(d^2) per row)
+    staged = df.select(
+        F.col(id_col),
+        a.alias("_a"),
+        F.round(F.array_max(F.transform(a, F.abs)), 9).alias("scale"),
+    )
+    q = F.when(
+        F.col("scale") == 0.0,
+        F.transform(F.col("_a"), lambda x: F.lit(0).cast("tinyint")),
+    ).otherwise(
+        F.transform(
+            F.col("_a"),
+            lambda x: F.round(x * 127.0 / F.col("scale"), 0).cast("tinyint"),
+        )
+    )
+    return staged.select(F.col(id_col), F.col("scale"), q.alias("qemb"))
+
+
+def topk_cosine_quantized(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k over the int8-quantized corpus: quantize both
+    sides (the query with ITS own scale — scales cancel in cosine), integer
+    dot/norms in codegen, (sim DESC, id ASC) tie-break — the exactness
+    shape of topk_cosine at a quarter of the memory-bandwidth.  The
+    rounded-cosine ranking differs from the float path only by the
+    quantization error (~1/254 per component), which is the documented
+    trade; the ORACLE is exact because DuckDB quantizes identically.
+    Returns (vec_id, qsim)."""
+    from .skew import spread_scan
+
+    mx = max(abs(float(x)) for x in query_vec) or 1.0
+    qq = [round(float(x) * 127.0 / round(mx, 9)) for x in query_vec]
+    qlit = F.array(*[F.lit(int(v)).cast("double") for v in qq])
+    quant = quantize_embeddings(spread_scan(df), id_col=id_col, vec_col=vec_col)
+    scored = quant.select(
+        F.col(id_col),
+        F.round(
+            cosine(F.transform(F.col("qemb"), lambda x: x.cast("double")), qlit), 6
+        ).alias("qsim"),
+    )
+    return scored.orderBy(F.col("qsim").desc(), F.col(id_col).asc()).limit(k)

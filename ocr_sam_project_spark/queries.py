@@ -1363,6 +1363,70 @@ ORACLES["s_topk_cosine"] = (
 QUERY_FNS["s_topk_cosine"] = _s_topk_fn
 
 
+# --- int8 quantization path ------------------------------------------------
+_QUANT_DUCK = """
+    quant AS (
+      SELECT vec_id,
+             round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x))), 9) AS scale,
+             CASE WHEN round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                     x -> abs(x))), 9) = 0
+                  THEN list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> CAST(0 AS TINYINT))
+                  ELSE list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> CAST(round(x * 127.0 /
+                                round(list_max(list_transform(
+                                  CAST(embedding AS DOUBLE[]), y -> abs(y))), 9),
+                                0) AS TINYINT))
+             END AS qemb
+      FROM embeddings)"""
+
+
+def _s_quantize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding table — 4x
+    smaller at rest and through every shuffle; quantization arithmetic is
+    oracle-exact (double math, fixed rounding)."""
+    from .operators.similarity import quantize_embeddings
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_embeddings(df)
+
+
+ORACLES["s_quantize"] = f"WITH {_QUANT_DUCK} SELECT vec_id, scale, qemb FROM quant"
+QUERY_FNS["s_quantize"] = _s_quantize_fn
+
+
+def _s_topk_quant_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by cosine over the INT8-quantized corpus (query = vec 0's
+    quantized row — scales cancel in cosine, so no dequantization
+    anywhere).  Ranking differs from s_topk_cosine only by quantization
+    error; the oracle is exact because DuckDB quantizes identically."""
+    from .operators.similarity import cosine, quantize_embeddings
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    quant = quantize_embeddings(df)
+    q = quant.filter(F.col("vec_id") == 0).select(F.col("qemb").alias("qv"))
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    scored = quant.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(cosine(dbl(F.col("qemb")), dbl(F.col("qv"))), 6).alias("qsim"),
+    )
+    return scored.orderBy(F.col("qsim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+ORACLES["s_topk_quantized"] = f"""
+    WITH {_QUANT_DUCK},
+    q AS (SELECT qemb AS qv FROM quant WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(CAST(qemb AS DOUBLE[]), CAST(qv AS DOUBLE[])) /
+                 (sqrt(list_dot_product(CAST(qemb AS DOUBLE[]),
+                                        CAST(qemb AS DOUBLE[]))) *
+                  sqrt(list_dot_product(CAST(qv AS DOUBLE[]),
+                                        CAST(qv AS DOUBLE[])))), 6) AS qsim
+    FROM quant, q ORDER BY qsim DESC NULLS LAST, vec_id ASC LIMIT 10"""
+QUERY_FNS["s_topk_quantized"] = _s_topk_quant_fn
+
+
 def _s_neardup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise cosine, top-20 most-similar pairs.  (The synthetic
     embeddings have max pairwise cosine ~0.51, so a fixed near-dup threshold

@@ -1225,3 +1225,31 @@ def test_bloom_arrow_matches_literal_path(spark):
     }
     assert lit == arrow
     assert any(lit.values()) and not all(lit.values())  # both verdicts occur
+
+
+def test_quantize_embeddings_semantics(spark):
+    """int8 quantization pinning: range bound |q| <= 127, the max-|x|
+    component hits exactly +/-127, zero vectors quantize to all-zero with
+    scale 0, and cosine over the int arrays reproduces the float ranking
+    on well-separated vectors (scales cancel)."""
+    import pyspark.sql.functions as F
+    from ocr_sam_project_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5]),
+            (2, [0.0, 0.0, 0.0]),
+            (3, [-0.25, 0.125, 0.25]),
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert got[1].scale == 2.0 and list(got[1].qemb) == [64, -127, 32]
+    assert got[2].scale == 0.0 and list(got[2].qemb) == [0, 0, 0]
+    assert got[3].scale == 0.25 and list(got[3].qemb) == [-127, 64, 127]
+    out = quantize_embeddings(df)
+    assert dict(out.dtypes)["qemb"] == "array<tinyint>"  # the 4x claim
+    mx = out.select(
+        F.max(F.array_max(F.transform("qemb", lambda x: F.abs(x)))).alias("m")
+    ).collect()[0].m
+    assert mx <= 127

@@ -510,3 +510,18 @@ def test_wet_curate_single_corpus_scan(spark):
     assert plan.count("Scan parquet") == 0, plan
     assert plan.count("Scan ExistingRDD") == 2, plan  # both read the SAME rdd
     assert "Python" not in plan, plan
+
+
+def test_quantize_embeddings_is_narrow(spark):
+    """Quantization must be a pure codegen projection — no Exchange, no
+    Python, no aggregate: at 10^9 vectors it rides the ingest scan.  The
+    scale is materialized as its own projection first so the quant lambda
+    references a column, not the array_max subtree (the HOF capture trap
+    would re-run the max per element — O(d^2) per row)."""
+    from ocr_sam_project_spark.operators.similarity import quantize_embeddings
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(quantize_embeddings(df))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "Aggregate" not in plan, plan

@@ -77,3 +77,27 @@ def test_salted_join_rejects_outer_variants(spark):
         salted_join(df, df, key="k", how="right")
     with _pytest.raises(ValueError, match="inner"):
         salted_join(df, df, key="k", how="full")
+
+
+def test_span_dedup_survives_hot_gram_corpus(spark):
+    """Adversarial skew for ExactSubstr: a corpus where ONE n-gram repeats
+    everywhere ("the the the ...") lands every occurrence of that gram in a
+    single fingerprint partition.  The rows there are (fp, id, pos) only —
+    never text — and the window computes a single min, so the operator must
+    complete and produce the exact keep-first semantics: the lexicographically
+    first (id, pos) window survives, every later token covered by a
+    duplicated window is removed."""
+    from ocr_sam_project_spark.operators.curation import span_dedup
+
+    n_docs, reps = 60, 40
+    df = spark.createDataFrame(
+        [(i, " ".join(["the"] * reps)) for i in range(n_docs)],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(df, n=5).collect()}
+    # doc 0 keeps ONLY position 1: the window starting at 2 is already a
+    # duplicate of the window starting at 1 (self-overlap), so duplicated
+    # starts {2..36} cover positions 2..40; every other doc is wiped
+    assert out[0].text == "the" and out[0].n_removed == reps - 1
+    for i in range(1, n_docs):
+        assert out[i].text == "" and out[i].n_removed == reps
