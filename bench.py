@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "g_wet_curate",
     "s_quantize",
     "s_topk_quantized",
+    "g_crawl_diff",
     "t_bigram_logprob",
     "s_kmeans",
     "s_topk_cosine",

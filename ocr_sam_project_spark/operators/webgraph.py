@@ -416,3 +416,55 @@ def html_to_text(
         .alias("n_lines"),
         F.length(out_col).cast("int").alias("n_chars"),
     )
+
+
+def crawl_diff(
+    prev: DataFrame,
+    curr: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CDX-style diff between two crawl snapshots, keyed by canonical url:
+    status 'new' (url only in curr), 'gone' (only in prev), 'changed'
+    (both sides, content fingerprint differs), 'unchanged'.  Each side is
+    first reduced to one row per canonical url (min-id provenance
+    convention, same as url_dedup).  Returns
+    (canonical_url, status, prev_id, curr_id).
+
+    The crawl-ops use: the 'new'+'changed' set IS the incremental work
+    list for the next pipeline run, 'gone' drives tombstoning, and the
+    status counts are the crawl-health dashboard.  Scale shape: one
+    url-keyed aggregate shuffle PER SIDE carrying (url, fp, id) — never
+    text — then a full outer join on the same key, which reuses the
+    aggregates' partitioning (no third shuffle).  Output cardinality =
+    distinct urls."""
+    from .curation import canonical_url
+    from .textstats import normalize_for_fingerprint
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(
+                canonical_url(F.col(url_col)).alias("canonical_url"),
+                F.struct(
+                    F.col(id_col).cast("long").alias("id"),
+                    F.md5(normalize_for_fingerprint(F.col(text_col))).alias("fp"),
+                ).alias("_r"),
+            )
+            .groupBy("canonical_url")
+            .agg(F.min("_r").alias(f"_{tag}"))
+        )
+    p, c = _side(prev, "p"), _side(curr, "c")
+    joined = p.join(c, "canonical_url", "full_outer")
+    status = (
+        F.when(F.col("_p").isNull(), "new")
+        .when(F.col("_c").isNull(), "gone")
+        .when(F.col("_p.fp") != F.col("_c.fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        "canonical_url",
+        status.alias("status"),
+        F.col("_p.id").alias("prev_id"),
+        F.col("_c.id").alias("curr_id"),
+    )

@@ -3845,6 +3845,50 @@ def _g_latest_snapshot_duck() -> str:
     FROM r WHERE rn = 1"""
 
 
+def _g_crawl_diff_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style snapshot diff: prev crawl = docs with doc_id%5 != 4, curr
+    crawl = docs with doc_id%5 != 0 with every %7==0 doc's text revised —
+    so all four statuses (new / gone / changed / unchanged) occur
+    deterministically.  URLs are already-canonical closed forms (the
+    canonicalizer's own behavior is pinned by d_url_dedup)."""
+    from .operators.webgraph import crawl_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", f"{_G_URL} AS url", "text"
+    )
+    prev = docs.filter(F.col("doc_id") % 5 != 4)
+    curr = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return crawl_diff(prev, curr)
+
+
+def _g_crawl_diff_duck() -> str:
+    norm = _NORM_DUCK.format(x="text")
+    norm2 = _NORM_DUCK.format(x="text || CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END")
+    return f"""
+    WITH prev AS (SELECT {_G_URL} AS canonical_url, doc_id AS prev_id,
+                         md5({norm}) AS pfp
+                  FROM documents WHERE doc_id % 5 <> 4),
+    curr AS (SELECT {_G_URL} AS canonical_url, doc_id AS curr_id,
+                    md5({norm2}) AS cfp
+             FROM documents WHERE doc_id % 5 <> 0)
+    SELECT COALESCE(p.canonical_url, c.canonical_url) AS canonical_url,
+           CASE WHEN p.canonical_url IS NULL THEN 'new'
+                WHEN c.canonical_url IS NULL THEN 'gone'
+                WHEN p.pfp <> c.cfp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           p.prev_id, c.curr_id
+    FROM prev p FULL OUTER JOIN curr c ON p.canonical_url = c.canonical_url"""
+
+
+QUERY_FNS["g_crawl_diff"] = _g_crawl_diff_fn
+ORACLES["g_crawl_diff"] = _g_crawl_diff_duck()
+
+
 QUERY_FNS["g_latest_snapshot"] = _g_latest_snapshot_fn
 ORACLES["g_latest_snapshot"] = _g_latest_snapshot_duck()
 

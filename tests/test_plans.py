@@ -525,3 +525,21 @@ def test_quantize_embeddings_is_narrow(spark):
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
     assert "Aggregate" not in plan, plan
+
+
+def test_crawl_diff_two_shuffles_only(spark):
+    """Snapshot diff must shuffle each side exactly once (the url-keyed
+    aggregate, payload (url, id, fp) — never text) and the full-outer join
+    must REUSE that partitioning: 2 hash exchanges total, zero extra for
+    the join."""
+    from ocr_sam_project_spark.queries import QUERY_FNS
+
+    plan = _plan(QUERY_FNS["g_crawl_diff"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "SortMergeJoin" in plan and "Full" in plan, plan
+    # what flows through each shuffle is the partial aggregate's output:
+    # (canonical_url, min-struct of (id, fp)) — the raw text column must be
+    # consumed by the pre-shuffle projection, never shipped
+    partials = [ln for ln in plan.splitlines() if "partial_min" in ln]
+    assert len(partials) == 2, plan
+    assert all("text#" not in ln for ln in partials), plan

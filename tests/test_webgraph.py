@@ -306,3 +306,37 @@ def test_html_to_text_passthrough_columns(spark):
     out = html_to_text(df)
     assert out.columns == ["doc_id", "url", "text", "n_lines", "n_chars"]
     assert out.collect()[0].url == "u1"
+
+
+def test_crawl_diff_all_statuses(spark):
+    """Diff semantics pinning: new / gone / changed / unchanged, with the
+    min-id reduce per side and url variants collapsing via the
+    canonicalizer before comparison."""
+    from ocr_sam_project_spark.operators.webgraph import crawl_diff
+
+    prev = spark.createDataFrame(
+        [
+            (1, "https://a.com/x", "alpha"),
+            (2, "https://a.com/y", "beta"),
+            (3, "https://a.com/z", "gamma"),
+            (4, "https://a.com/z#frag", "gamma dup variant"),  # collapses to /z
+        ],
+        "doc_id int, url string, text string",
+    )
+    curr = spark.createDataFrame(
+        [
+            (11, "https://a.com/x", "alpha"),            # unchanged
+            (12, "https://a.com/y", "beta REVISED"),     # changed
+            (13, "https://a.com/new", "fresh"),          # new
+        ],
+        "doc_id int, url string, text string",
+    )
+    got = {r.canonical_url: r for r in crawl_diff(prev, curr).collect()}
+    assert got["https://a.com/x"].status == "unchanged"
+    assert got["https://a.com/y"].status == "changed"
+    assert got["https://a.com/new"].status == "new"
+    assert got["https://a.com/new"].prev_id is None
+    assert got["https://a.com/z"].status == "gone"
+    assert got["https://a.com/z"].prev_id == 3  # min-id reduce kept doc 3
+    assert got["https://a.com/z"].curr_id is None
+    assert len(got) == 4
