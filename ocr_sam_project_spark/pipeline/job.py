@@ -117,6 +117,8 @@ def run_extraction_job(
     split_parallelism: Optional[int] = None,
     dedup: Optional[str] = None,
     fp_store_path: Optional[str] = None,
+    fp_store_bloom: bool = False,
+    fp_store_bloom_bits: int = 1 << 20,
     url_dedup: bool = False,
     pii_scrub: bool = False,
     blocklist=None,
@@ -144,6 +146,11 @@ def run_extraction_job(
     and the survivors' fingerprints are appended to the store when this
     run's partitions complete.  The store side is pruned to its fp column
     for the probe; at 100 TB keep it bucketed by fp (sources.bucketing).
+    `fp_store_bloom` adds the Bloom admission tier in front of the store
+    join (operators.dedup.bloom_build/bloom_hit): bloom-misses skip the
+    join entirely, only the hit slice (true dups + the designed FP rate of
+    `fp_store_bloom_bits`) pays the exact semi-join — output and lineage
+    provably identical either way.
 
     `url_dedup` inserts the CHEAPEST dedup tier ahead of everything else:
     tracking-param/fragment/case variants of one canonical URL collapse to
@@ -312,8 +319,27 @@ def run_extraction_job(
             if dedup is not None:
                 store_universe = store_universe.join(losers, "url", "left_anti")
             fps = corpus_fingerprints(store_universe, "text", "url")
+            # Optional Bloom admission tier (fp_store_bloom): at store >>
+            # batch scale the semi-join shuffles the whole new batch on fp
+            # even though almost none of it is in the store.  The bitset
+            # (one word-keyed shuffle of the STORE, output bounded by the
+            # filter size) turns that into a narrow codegen probe; only the
+            # bloom-HIT slice reaches the join.  False negatives are
+            # impossible, the join removes false positives — the loser set,
+            # lineage counts, and survivors are IDENTICAL either way
+            # (test_job_fp_store_bloom_identical).
+            probe_fps = fps
+            if fp_store_bloom:
+                from ..operators.dedup import bloom_build, bloom_hit
+
+                words = bloom_build(store, m_bits=fp_store_bloom_bits, k=4)
+                probe_fps = fps.filter(
+                    bloom_hit(F.col("fp"), words, fp_store_bloom_bits, 4)
+                )
             store_losers = (
-                fps.join(store, "fp", "left_semi").select("url").localCheckpoint()
+                probe_fps.join(store, "fp", "left_semi")
+                .select("url")
+                .localCheckpoint()
             )
             store_dups_by_part = _per_part_counts(store_losers)
             store_dups_dropped = sum(store_dups_by_part.values())

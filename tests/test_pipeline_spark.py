@@ -570,3 +570,61 @@ def test_metrics_written(spark, pages_parquet, tmp_path):
     m = spark.read.parquet(f"{out}/metrics")
     names = {r.metric for r in m.select("metric").distinct().collect()}
     assert {"docs_in", "segments_out", "errors", "elapsed_sec", "docs_per_sec"} <= names
+
+
+def test_job_fp_store_bloom_identical(spark, pages_parquet, tmp_path):
+    """fp_store_bloom must not change ANY observable output: same
+    store_dups_dropped, same docs_in, same surviving url set, same lineage
+    totals as the plain semi-join path — the bloom tier only shrinks the
+    join input (false negatives impossible, the join removes false
+    positives).  Runs with a deliberately small filter so false positives
+    are present and MUST be cleaned by the verify join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(pages_parquet)
+    rows = [r for r in base.to_pylist() if (r["text"] or "").strip()]
+
+    outs = {}
+    for tag, bloom in (("plain", False), ("bloom", True)):
+        store = str(tmp_path / f"fp_store_{tag}")
+        in1 = tmp_path / f"crawl1_{tag}"
+        in1.mkdir()
+        pq.write_table(base, str(in1 / "pages.parquet"))
+        run_extraction_job(
+            spark, str(in1), str(tmp_path / f"o1_{tag}"), run_id="c1",
+            num_parts=8, fp_store_path=store,
+            fp_store_bloom=bloom, fp_store_bloom_bits=256,
+        )
+        recrawl = [dict(r) for r in rows[:10]]
+        for i, r in enumerate(recrawl):
+            r["url"] = f"zrecrawl://copy-{i}"
+        fresh = [dict(rows[0]) for _ in range(5)]
+        for i, r in enumerate(fresh):
+            r["url"] = f"znew://page-{i}"
+            r["text"] = f"pagina nueva numero {i} con contenido propio"
+        in2 = tmp_path / f"crawl2_{tag}"
+        in2.mkdir()
+        pq.write_table(
+            pa.Table.from_pylist(recrawl + fresh, schema=base.schema),
+            str(in2 / "pages.parquet"),
+        )
+        out2 = str(tmp_path / f"o2_{tag}")
+        s2 = run_extraction_job(
+            spark, str(in2), out2, run_id="c2", num_parts=8,
+            fp_store_path=store,
+            fp_store_bloom=bloom, fp_store_bloom_bits=256,
+        )
+        lin = spark.read.parquet(f"{out2}/lineage")
+        outs[tag] = (
+            s2["store_dups_dropped"],
+            s2["docs_in"],
+            sorted(
+                r.url
+                for r in spark.read.parquet(f"{out2}/extractions")
+                .select("url").collect()
+            ),
+            lin.agg(F.sum("dups_dropped")).first()[0],
+        )
+    assert outs["plain"] == outs["bloom"]
+    assert outs["bloom"][0] == 10 and outs["bloom"][1] == 5
