@@ -971,6 +971,19 @@ _A9 = """SELECT coalesce(o_orderstatus, 'ALL') AS status,
 # A9: hierarchical ROLLUP aggregation (grouping-sets family).
 _sql("a9_rollup", _A9, _A9)
 
+_TSTATS = """SELECT coalesce(source, 'ALL') AS source,
+              coalesce(lang, 'ALL') AS lang,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+              ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+       FROM documents GROUP BY ROLLUP(source, lang)"""
+# Corpus dashboard: per-(source, lang) + subtotal + grand-total stats in ONE
+# pass — the crawl-health rollup every ingest run publishes.  Grouping sets
+# make Spark expand the rollup inside a single aggregate (map-side partials
+# per grouping set), not three jobs.
+_sql("t_corpus_stats", _TSTATS, _TSTATS)
+
 _FCOUNT = """WITH d AS (SELECT doc_id, doc_id % 9 + 1 AS declared,
               GREATEST(0, doc_id % 9 + 1 + (doc_id % 7) - 3) AS extracted FROM documents)
        SELECT doc_id, declared, extracted,

@@ -71,3 +71,35 @@ def test_extract_document_never_throws(html, text):
         # spans always index into extracted_text
         for f in r["fields"]:
             assert r["extracted_text"][f["start"]:f["end"]] == f["value"]
+
+
+def _bloom_positions_py(fp: str, m_bits: int, k: int) -> list[int]:
+    """Pure-python twin of dedup.bloom_positions (same md5[:14] % m math)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{fp}:{j}".encode()).hexdigest()[:14], 16) % m_bits
+        for j in range(k)
+    ]
+
+
+@given(
+    st.sets(st.text(min_size=1, max_size=24), min_size=1, max_size=60),
+    st.sampled_from([64, 256, 4096]),
+)
+@settings(max_examples=60, deadline=None)
+def test_bloom_membership_never_false_negative(fps, m_bits):
+    """Structural invariant of the Bloom admission tier, over arbitrary
+    fingerprint sets and filter sizes (including absurdly undersized ones):
+    every inserted fp ALWAYS probes positive.  Mirrors bloom_build/
+    bloom_hit's exact hash math (md5[:14 hex] % m, ':j' salts, k=4)."""
+    k = 4
+    words = [0] * ((m_bits + 63) // 64)
+    for fp in fps:
+        for p in _bloom_positions_py(fp, m_bits, k):
+            words[p >> 6] |= 1 << (p & 63)
+    for fp in fps:
+        assert all(
+            (words[p >> 6] >> (p & 63)) & 1
+            for p in _bloom_positions_py(fp, m_bits, k)
+        )
