@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "s_quantize",
     "s_topk_quantized",
     "g_crawl_diff",
+    "t_corpus_stats",
     "t_bigram_logprob",
     "s_kmeans",
     "s_topk_cosine",
