@@ -4172,7 +4172,8 @@ _DRIVER_PRIORITY = [
     "t_bigram_logprob",
     "t_pack_sequences",
     "t_boilerplate_strip",
-    "t_unigram_logprob",
+    # (t_unigram_logprob displaced by g_crawl_diff: the decimal-exact LM
+    # accumulation shape stays in-window via t_bigram_logprob)
     "t_token_budget",
     "t_gopher_rules",
     "t_dup_ngram_frac",
@@ -4180,9 +4181,12 @@ _DRIVER_PRIORITY = [
     # blocklist row pins the broadcast suffix anti-join)
     "g_host_degrees",
     "g_blocklist",
-    # multimodal: opaque-binary fast path AND the real Arrow decode stage
-    "m_binary_features",
+    # multimodal: the real Arrow decode stage (m_binary_features' opaque
+    # fingerprint/len shape hash-verifies inside it; still pytest-gated)
     "m_media_features",
+    # int8 quantized ANN (composes s_quantize — the quantization arithmetic
+    # hash-verifies through the top-k scores)
+    "s_topk_quantized",
     # extraction operator families
     "x8_enrich_inject",
     "c1_classify",
@@ -4196,12 +4200,17 @@ _DRIVER_PRIORITY = [
     "a1_monto_total",
     "a2_status_rollup",
     "a8_percentiles",
-    "a9_rollup",
+    # (a9_rollup displaced by t_corpus_stats: the same grouping-sets /
+    # subtotal shape over the corpus dashboard — newer and web-relevant)
+    "t_corpus_stats",
     "w4_tumbling_window",
     "w5_sessionize",
-    # (j4_taxonomy_join displaced by g_html_text: the broadcast equi-join
-    # shape stays in-window via x8_enrich_inject; still pytest-gated)
-    "g_html_text",
+    # CDX-style crawl snapshot diff (full-outer join + url-keyed reduces)
+    "g_crawl_diff",
+    # (g_html_text displaced by g_wet_curate, which strictly subsumes it:
+    # the WET conversion chain feeds the full curation funnel end-to-end;
+    # j4's broadcast equi-join shape stays in-window via x8_enrich_inject)
+    "g_wet_curate",
     "j5_asof_join",
     # --- 50-row window boundary: everything below still runs in the pytest
     # all-oracle parity gate (x1's bank is in-window via pipeline_cedulas;
