@@ -519,7 +519,10 @@ def boilerplate_strip(
 
 # --------------------------------------------------------------------------
 def unigram_logprob(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Corpus-self-trained unigram language-model score — the CCNet-style
     perplexity-filter proxy that needs no external LM: every document is
@@ -544,27 +547,41 @@ def unigram_logprob(
     side, and Spark would otherwise re-run the scan+explode per consumer);
     the vocab table is VOCABULARY-sized so its totals fold to one row
     (broadcast cross-join, no driver collect) and the logp table
-    broadcasts back onto tf.  No second corpus-wide shuffle."""
+    broadcasts back onto tf.  No second corpus-wide shuffle.
+
+    With `group_col` (e.g. a language column) the model is trained WITHIN
+    each group — CCNet trains one LM per language, not one global model.
+    The totals table becomes group-count-sized (still tiny) and logp joins
+    back by (group, term); each id carries exactly one group value so the
+    per-doc aggregation keys stay (id)-shaped."""
+    grp = [group_col] if group_col else []
     toks = df.select(
         F.col(id_col).alias("id"),
+        *[F.col(g) for g in grp],
         F.explode(F.split(normalize_for_fingerprint(F.col(text_col)), " ")).alias(
             "term"
         ),
     ).filter(F.col("term") != "")
     tf = (
-        toks.groupBy("id", "term")
+        toks.groupBy("id", *grp, "term")
         .agg(F.count("*").alias("tf"))
         .localCheckpoint(eager=False)
     )
     vocab = (
-        tf.groupBy("term")
+        tf.groupBy(*grp, "term")
         .agg(F.sum("tf").alias("c"))
         .localCheckpoint(eager=False)
     )
-    totals = vocab.agg(
-        F.sum("c").alias("_total"), F.count("*").alias("_vocab")
-    )
-    logp = vocab.crossJoin(F.broadcast(totals)).select(
+    if grp:
+        totals = vocab.groupBy(*grp).agg(
+            F.sum("c").alias("_total"), F.count("*").alias("_vocab")
+        )
+        logp_src = vocab.join(F.broadcast(totals), grp)
+    else:
+        totals = vocab.agg(F.sum("c").alias("_total"), F.count("*").alias("_vocab"))
+        logp_src = vocab.crossJoin(F.broadcast(totals))
+    logp = logp_src.select(
+        *grp,
         "term",
         F.round(
             F.log((F.col("c") + 1.0) / (F.col("_total") + F.col("_vocab"))), 6
@@ -572,15 +589,16 @@ def unigram_logprob(
         .cast("decimal(18,6)")
         .alias("_logp"),
     )
-    scored = tf.join(F.broadcast(logp), "term").groupBy("id").agg(
+    scored = tf.join(F.broadcast(logp), [*grp, "term"]).groupBy("id", *grp).agg(
         F.sum("tf").cast("long").alias("n_tokens"),
         F.sum(F.col("tf") * F.col("_logp")).alias("_sum_lp"),
     )
     return (
-        df.select(F.col(id_col).alias("id"))
-        .join(scored, "id", "left")
+        df.select(F.col(id_col).alias("id"), *[F.col(g) for g in grp])
+        .join(scored.drop(*grp), "id", "left")
         .select(
             F.col("id").alias(id_col),
+            *grp,
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
             _avg_logprob_expr("_sum_lp", "n_tokens").alias("avg_logprob"),
         )
@@ -1051,4 +1069,81 @@ def span_dedup(
         .otherwise(F.col("n_tokens") - F.size(kept))
         .cast("long")
         .alias("n_removed"),
+    )
+
+
+# --------------------------------------------------------------------------
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing: per language, score
+    every document with the corpus-self-trained unigram LM (per-lang model,
+    the KenLM-perplexity proxy), then split the language into score
+    TERTILES — 'head' = most fluent third, 'tail' = least.  CCNet keeps
+    head+middle for LM training; the bucket label is the dataset-curation
+    primitive.  Returns (id, lang, n_tokens, avg_logprob, bucket); docs the
+    LM cannot score (empty text) land in 'tail'.
+
+    No global sort: tertile boundaries come from a per-(lang, cell)
+    HISTOGRAM where cell = the score quantized to 3 decimals (scores are
+    bounded — avg log-prob lives in roughly [-30, 0] — so the histogram is
+    <= ~30k cells per language REGARDLESS of corpus size).  The cumulative
+    window runs over that tiny table only; docs get their bucket by a
+    broadcast join on (lang, cell).  A whole score-cell shares one bucket,
+    which makes the rule deterministic under ties by construction.
+
+    Bucket rule (exact integer arithmetic): with n scored docs in the
+    language and start(cell) = docs in strictly-better cells,
+    bucket = head if start*3 < n, middle if start*3 < 2n, else tail.
+
+    Cross-engine determinism: the cell is floor(round(score*1e6)/1000) —
+    round-to-integer first (score is micro-exact by construction, so the
+    *1e6 product sits within ~1e-9 of an integer, never near a half
+    boundary), then a floor whose argument is >= one ulp*1e6 away from the
+    nearest integer crossing; both engines run the identical IEEE ops.
+
+    Scale shape (100 TB): the unigram pipeline's one corpus scan + one
+    (id, term) shuffle, then one (lang, cell) partial-aggregated shuffle of
+    id-sized rows into the bounded histogram; the boundary table broadcasts
+    back.  No sort of the corpus, no per-lang skew (the window partitions
+    a <= 30k-row table)."""
+    scored = unigram_logprob(df, text_col, id_col, group_col=lang_col)
+    cell = F.when(
+        F.col("avg_logprob").isNotNull(),
+        F.floor(F.round(F.col("avg_logprob") * 1e6, 0) / F.lit(1000.0)).cast(
+            "long"
+        ),
+    )
+    s = scored.withColumn("_cell", cell)
+    hist = (
+        s.filter(F.col("_cell").isNotNull())
+        .groupBy(lang_col, "_cell")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    w_lang = Window.partitionBy(lang_col)
+    w_cum = w_lang.orderBy(F.col("_cell").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bounds = hist.select(
+        lang_col,
+        "_cell",
+        F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)).alias("_start"),
+        F.sum("_cnt").over(w_lang).alias("_n"),
+    ).select(
+        lang_col,
+        "_cell",
+        F.when(F.col("_start") * 3 < F.col("_n"), F.lit("head"))
+        .when(F.col("_start") * 3 < 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("_bucket"),
+    )
+    return s.join(F.broadcast(bounds), [lang_col, "_cell"], "left").select(
+        id_col,
+        lang_col,
+        "n_tokens",
+        "avg_logprob",
+        F.coalesce("_bucket", F.lit("tail")).alias("bucket"),
     )

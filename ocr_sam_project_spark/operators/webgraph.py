@@ -468,3 +468,81 @@ def crawl_diff(
         F.col("_p.id").alias("prev_id"),
         F.col("_c.id").alias("curr_id"),
     )
+
+
+# --------------------------------------------------------------------------
+def anchor_topk(links: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k anchor texts per DESTINATION host — the anchor-text dataset
+    primitive (anchor text describing a target is retrieval/ranking
+    training signal; DORIS-MAE / MS MARCO-style weak labels are built from
+    exactly this rollup).  Input is extract_links output; only link kinds
+    that resolve to a host participate, anchors compare in canonical form
+    (lowercased, ws-collapsed) and empty anchors drop.  Returns
+    (dst_host, rank, anchor, n_links) with rank 1..k by count desc,
+    anchor asc on ties — fully deterministic.
+
+    Scale shape (100 TB): one (dst_host, anchor)-keyed shuffle with
+    map-side partial counts (a mega-host's identical boilerplate anchors
+    collapse per map task before shuffling), then the per-host top-k
+    window over host-cardinality rows — Spark 4 inserts a partial
+    WindowGroupLimit before the exchange, so at most k rows per
+    (host, map task) reach the final rank.  No text payload anywhere:
+    anchors are short strings, html never shuffles."""
+    from pyspark.sql import Window
+
+    from .textstats import normalize_for_fingerprint
+
+    ok = links.filter(
+        F.col("kind").isin("absolute", "proto_relative", "relative")
+        & F.col("dst_host").isNotNull()
+    ).select(
+        "dst_host", normalize_for_fingerprint(F.col("anchor")).alias("anchor")
+    ).filter(F.col("anchor") != "")
+    counts = ok.groupBy("dst_host", "anchor").agg(F.count("*").alias("n_links"))
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_links").desc(), F.col("anchor").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("dst_host", F.col("rank").cast("int").alias("rank"), "anchor",
+                "n_links")
+    )
+
+
+# --------------------------------------------------------------------------
+def host_dup_ratio(
+    df: DataFrame, text_col: str = "text", url_col: str = "url"
+) -> DataFrame:
+    """Per-host exact-duplicate ratio — the spam/mirror signal crawl
+    curation demotes hosts by (a host whose pages are mostly copies of each
+    other is boilerplate spam, a mirror, or a calendar trap).  Returns
+    (host, n_pages, n_distinct, dup_ratio) where dup_ratio =
+    (n_pages - n_distinct) / n_pages rounded half-away to 6 dp in EXACT
+    integer arithmetic (the quotient of two small integers lands on exact
+    half-micro boundaries constantly; float ROUND diverges across engines
+    there — same discipline as the LM mean scores).
+
+    Scale shape (100 TB): two shuffles, both with map-side partials and
+    both SMALLER than the input — (host, fp) distinct pairs first (the
+    payload is a 32-char fp, never text), then host-cardinality rollup.
+    A mega-host skews one partition of the first shuffle but carries
+    fp-sized rows only."""
+    from .textstats import fingerprint
+
+    pairs = df.select(
+        F.nullif(host_of(F.col(url_col)), F.lit("")).alias("host"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+    ).filter(F.col("host").isNotNull())
+    per_fp = pairs.groupBy("host", "_fp").agg(F.count("*").alias("_c"))
+    rolled = per_fp.groupBy("host").agg(
+        F.sum("_c").cast("long").alias("n_pages"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    dup_micro = F.expr(
+        "CAST((2 * (n_pages - n_distinct) * 1000000 + n_pages)"
+        " DIV (2 * n_pages) AS DOUBLE) / 1000000 + 0.0"
+    )
+    return rolled.select(
+        "host", "n_pages", "n_distinct", dup_micro.alias("dup_ratio")
+    )

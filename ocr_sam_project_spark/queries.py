@@ -4121,6 +4121,179 @@ ORACLES["g_wet_curate"] = _t_curate_duck(
 )
 
 
+def _t_ccnet_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import ccnet_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ccnet_buckets(docs)
+
+
+def _t_ccnet_duck() -> str:
+    norm = _NORM_DUCK.format(x="text")
+    return f"""
+    WITH toks AS (SELECT doc_id AS id, lang,
+                         unnest(regexp_split_to_array({norm}, ' ')) AS term
+                  FROM documents),
+    t2 AS (SELECT * FROM toks WHERE term <> ''),
+    tf AS (SELECT id, lang, term, COUNT(*) AS tf FROM t2 GROUP BY id, lang, term),
+    vocab AS (SELECT lang, term, SUM(tf) AS c FROM tf GROUP BY lang, term),
+    tot AS (SELECT lang, SUM(c) AS total, COUNT(*) AS v FROM vocab GROUP BY lang),
+    logp AS (SELECT vocab.lang, vocab.term,
+                    CAST(ROUND(ln((c + 1.0) / (tot.total + tot.v)), 6)
+                         AS DECIMAL(18,6)) AS lp
+             FROM vocab JOIN tot ON tot.lang = vocab.lang),
+    scored AS (SELECT tf.id, tf.lang,
+                      CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                      SUM(tf.tf * logp.lp) AS sum_lp
+               FROM tf JOIN logp ON logp.lang = tf.lang AND logp.term = tf.term
+               GROUP BY tf.id, tf.lang),
+    sc AS (SELECT d.doc_id, d.lang,
+                  CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                  CASE WHEN s.n_tokens > 0
+                       THEN -CAST((2 * CAST(s.sum_lp * -1000000 AS BIGINT)
+                                   + s.n_tokens)
+                                  // (2 * s.n_tokens) AS DOUBLE) / 1000000 + 0.0
+                  END AS avg_logprob
+           FROM documents d LEFT JOIN scored s ON s.id = d.doc_id),
+    cells AS (SELECT *,
+                     CASE WHEN avg_logprob IS NOT NULL
+                          THEN CAST(FLOOR(ROUND(avg_logprob * 1e6) / 1000.0)
+                                    AS BIGINT) END AS cell
+              FROM sc),
+    hist AS (SELECT lang, cell, COUNT(*) AS cnt FROM cells
+             WHERE cell IS NOT NULL GROUP BY lang, cell),
+    hb AS (SELECT lang, cell,
+                  COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY cell DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS strt,
+                  SUM(cnt) OVER (PARTITION BY lang) AS n
+           FROM hist),
+    bk AS (SELECT lang, cell,
+                  CASE WHEN strt * 3 < n THEN 'head'
+                       WHEN strt * 3 < 2 * n THEN 'middle'
+                       ELSE 'tail' END AS bucket
+           FROM hb)
+    SELECT c.doc_id, c.lang, c.n_tokens, c.avg_logprob,
+           COALESCE(bk.bucket, 'tail') AS bucket
+    FROM cells c LEFT JOIN bk ON bk.lang = c.lang AND bk.cell = c.cell"""
+
+
+# CCNet head/middle/tail per-language LM-score tertiles; boundaries from a
+# bounded (lang, quantized-score) histogram — no corpus sort at any scale.
+QUERY_FNS["t_ccnet_buckets"] = _t_ccnet_fn
+ORACLES["t_ccnet_buckets"] = _t_ccnet_duck()
+
+
+def _a_hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators.sketches import hll_distinct
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hll_distinct(docs, F.col("text"), p=12)
+
+
+def _a_hll_duck(p: int = 12) -> str:
+    m = 1 << p
+    rem_bits = 56 - p
+    h = _H_DUCK.format(x="text")
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    raw = (
+        f"{alpha} * {m}.0 * {m}.0 * 9007199254740992.0"
+        " / CAST(sum_scaled AS DOUBLE)"
+    )
+    return f"""
+    WITH h AS (SELECT {h} AS h FROM documents),
+    b AS (SELECT CAST(h % {m} AS INT) AS bucket, (h >> {p}) AS rem FROM h),
+    r AS (SELECT bucket,
+                 MAX(CASE WHEN rem = 0 THEN {rem_bits + 1}
+                     ELSE {rem_bits} - length(bin(rem)) + 1 END) AS mx
+          FROM b GROUP BY bucket),
+    f AS (SELECT COUNT(*) AS present,
+                 CAST(SUM(CAST(POWER(2, 53 - mx) AS DECIMAL(20,0)))
+                      AS DECIMAL(38,0)) AS sp
+          FROM r),
+    z AS (SELECT {m} AS m_registers,
+                 CAST({m} - present AS BIGINT) AS v_zero,
+                 CAST(COALESCE(sp, 0)
+                      + CAST({m} - present AS DECIMAL(38,0))
+                        * CAST(9007199254740992 AS DECIMAL(38,0))
+                      AS DECIMAL(38,0)) AS sum_scaled
+          FROM f)
+    SELECT m_registers, v_zero, sum_scaled,
+           CAST(FLOOR(CASE WHEN {raw} <= {2.5 * m!r} AND v_zero > 0
+                      THEN {m}.0 * ln({m}.0 / v_zero)
+                      ELSE {raw} END) AS BIGINT) AS est_distinct
+    FROM z"""
+
+
+# portable HyperLogLog over document texts: registers AND estimate are
+# bit-identical across engines (md5 hash, exact decimal harmonic sum).
+QUERY_FNS["a_hll_distinct"] = _a_hll_fn
+ORACLES["a_hll_distinct"] = _a_hll_duck()
+
+
+def _g_anchor_topk_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.webgraph import anchor_topk, extract_links
+
+    return anchor_topk(extract_links(_g_pages(spark, sf_dir)), k=3)
+
+
+def _g_anchor_topk_duck(k: int = 3) -> str:
+    norm = _NORM_DUCK.format(x="anchor")
+    return f"""
+    WITH {_G_LINKS_CTE},
+    ok AS (SELECT dst_host, {norm} AS anchor FROM links
+           WHERE kind IN ('absolute', 'proto_relative', 'relative')
+             AND dst_host IS NOT NULL),
+    c AS (SELECT dst_host, anchor, COUNT(*) AS n_links FROM ok
+          WHERE anchor <> '' GROUP BY dst_host, anchor),
+    r AS (SELECT dst_host, anchor, n_links,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY dst_host
+                      ORDER BY n_links DESC, anchor ASC) AS INT) AS rank
+          FROM c)
+    SELECT dst_host, rank, anchor, n_links FROM r WHERE rank <= {k}"""
+
+
+# anchor-text top-k per destination host (the anchor-text dataset rollup).
+QUERY_FNS["g_anchor_topk"] = _g_anchor_topk_fn
+ORACLES["g_anchor_topk"] = _g_anchor_topk_duck()
+
+
+def _g_dup_ratio_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.webgraph import host_dup_ratio
+
+    pages = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        f"{_G_URL} AS url", "text"
+    )
+    return host_dup_ratio(pages)
+
+
+def _g_dup_ratio_duck() -> str:
+    norm = _NORM_DUCK.format(x="text")
+    return f"""
+    WITH p AS (SELECT {_G_URL} AS url, text FROM documents),
+    pr AS (SELECT nullif(lower(regexp_extract(url, '{_G_ABS_RE}', 1)), '')
+                    AS host,
+                  md5({norm}) AS fp
+           FROM p),
+    pf AS (SELECT host, fp, COUNT(*) AS c FROM pr
+           WHERE host IS NOT NULL GROUP BY host, fp),
+    r AS (SELECT host, CAST(SUM(c) AS BIGINT) AS n_pages,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct
+          FROM pf GROUP BY host)
+    SELECT host, n_pages, n_distinct,
+           CAST((2 * (n_pages - n_distinct) * 1000000 + n_pages)
+                // (2 * n_pages) AS DOUBLE) / 1000000 + 0.0 AS dup_ratio
+    FROM r"""
+
+
+# per-host exact-dup ratio (mirror/spam demotion signal); exact integer
+# half-away rounding for the small-quotient ratio.
+QUERY_FNS["g_host_dup_ratio"] = _g_dup_ratio_fn
+ORACLES["g_host_dup_ratio"] = _g_dup_ratio_duck()
+
+
 # ===========================================================================
 # Driver-window ordering
 # ===========================================================================

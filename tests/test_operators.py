@@ -1253,3 +1253,101 @@ def test_quantize_embeddings_semantics(spark):
         F.max(F.array_max(F.transform("qemb", lambda x: F.abs(x)))).alias("m")
     ).collect()[0].m
     assert mx <= 127
+
+
+# --------------------------------------------------------------------------
+def test_ccnet_buckets_tertiles(spark):
+    from ocr_sam_project_spark.operators.curation import ccnet_buckets
+
+    # lang A: 6 docs in three clearly separated fluency tiers (repeated
+    # common words score high under the corpus's own unigram LM; rare-token
+    # salad scores low).  lang B: a single doc -> everything is 'head'.
+    common = "the cat sat on the mat " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, "A", common + "the cat sat"),
+            (2, "A", common + "on the mat"),
+            (3, "A", common + "zq1 vv2"),
+            (4, "A", common + "qk9 xj3"),
+            (5, "A", "zzq8 wwk3 vvp1 qqm9 xxj2 rrn4"),
+            (6, "A", "yyt7 uui5 ooh6 ppg3 llf8 kkd2"),
+            (7, "B", "solo documento"),
+            (8, "A", ""),  # unscorable -> tail
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {r.doc_id: r.bucket for r in ccnet_buckets(docs).collect()}
+    assert got[8] == "tail"
+    assert got[7] == "head"
+    scored = [got[i] for i in (1, 2, 3, 4, 5, 6)]
+    # tertile rule over 7 scored lang-A docs... lang A has 7 scored docs?
+    assert scored.count("head") + scored.count("middle") + scored.count("tail") == 6
+    # the two fluent docs are head, the two salad docs are tail
+    assert got[1] == "head" and got[2] == "head"
+    assert got[5] == "tail" and got[6] == "tail"
+
+
+def test_ccnet_buckets_per_lang_model(spark):
+    from ocr_sam_project_spark.operators.curation import ccnet_buckets
+
+    # the same text is head in a lang where it is typical and tail where it
+    # is alien — proof the model trains per-language, not globally
+    rep = "uno dos tres cuatro cinco " * 4
+    eng = "one two three four five " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, "es", rep),
+            (2, "es", rep + "uno dos"),
+            (3, "es", rep + "tres cuatro"),
+            (4, "es", "one two three xq9"),
+            (5, "en", eng),
+            (6, "en", eng + "one two"),
+            (7, "en", eng + "three four"),
+            (8, "en", "uno dos tres xq9"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {r.doc_id: r.bucket for r in ccnet_buckets(docs).collect()}
+    assert got[4] == "tail"  # English words are alien under the es model
+    assert got[8] == "tail"  # and vice versa
+    # docs 2/3 tie one cell above doc 1 (two extra high-freq tokens), so the
+    # 4-doc langs split head=3-tied-at-two-cells? no: cells are (2,3) then 1
+    # then 4 -> start 0 head, start 2 middle, start 3 tail
+    assert got[2] == "head" and got[3] == "head"
+    assert got[1] == "middle" and got[5] == "middle"
+
+
+def test_hll_registers_merge_and_accuracy(spark):
+    import pyspark.sql.functions as F
+
+    from ocr_sam_project_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 3000
+    df = spark.range(n).select(
+        F.concat(F.lit("item-"), (F.col("id") % 2000).cast("string")).alias("v")
+    )
+    est = hll_distinct(df, F.col("v"), p=12).first()
+    assert est.m_registers == 4096
+    # deterministic sketch; exact distinct is 2000 — linear-counting regime
+    assert abs(est.est_distinct - 2000) / 2000 < 0.05, est.est_distinct
+
+    # mergeability: sketch(A) merged with sketch(B) == sketch(A union B)
+    a = df.filter(F.col("v") < "item-5")
+    b = df.filter(F.col("v") >= "item-5")
+    merged = (
+        hll_registers(a, F.col("v"))
+        .unionByName(hll_registers(b, F.col("v")))
+        .groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    whole = hll_registers(df, F.col("v"))
+    assert (
+        hll_estimate(merged).first().est_distinct
+        == hll_estimate(whole).first().est_distinct
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0

@@ -543,3 +543,56 @@ def test_crawl_diff_two_shuffles_only(spark):
     partials = [ln for ln in plan.splitlines() if "partial_min" in ln]
     assert len(partials) == 2, plan
     assert all("text#" not in ln for ln in partials), plan
+
+
+def test_ccnet_bounds_broadcast_no_corpus_sort(spark):
+    from ocr_sam_project_spark.queries import QUERY_FNS
+
+    df = QUERY_FNS["t_ccnet_buckets"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # the tertile boundary table joins back by broadcast — the corpus side
+    # never shuffles for bucket assignment
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly the two window aggregates (cumulative start + per-lang total)
+    # over the (lang, cell) HISTOGRAM — never a window over corpus rows
+    assert plan.count("Window [") == 2, plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "windowspecdefinition(lang" in line, line
+
+
+def test_hll_registers_single_shuffle_no_join(spark):
+    import pyspark.sql.functions as F2
+
+    from ocr_sam_project_spark.operators.sketches import hll_registers
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(hll_registers(docs, F2.col("text")))
+    # the whole sketch is one narrow map + one bounded-cardinality
+    # aggregate shuffle: no joins, no windows, nothing Python
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "Python" not in plan and "Arrow" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # map-side partial max
+
+
+def test_anchor_topk_partial_window_group_limit(spark):
+    from ocr_sam_project_spark.queries import QUERY_FNS
+
+    df = QUERY_FNS["g_anchor_topk"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # Spark 4 plans a PARTIAL WindowGroupLimit before the exchange, so a
+    # mega-host ships at most k rows per map task into the final rank
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.lower().count("windowgrouplimit") >= 2 or "Partial" in plan, plan
+
+
+def test_host_dup_ratio_two_bounded_shuffles(spark):
+    from ocr_sam_project_spark.queries import QUERY_FNS
+
+    df = QUERY_FNS["g_host_dup_ratio"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # (host,fp) distinct pairs then host rollup — two exchanges, both with
+    # map-side partials, no text column past the first projection
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan, plan

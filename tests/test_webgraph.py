@@ -340,3 +340,56 @@ def test_crawl_diff_all_statuses(spark):
     assert got["https://a.com/z"].prev_id == 3  # min-id reduce kept doc 3
     assert got["https://a.com/z"].curr_id is None
     assert len(got) == 4
+
+
+# --------------------------------------------------------------------------
+def test_anchor_topk_rank_and_ties(spark):
+    from ocr_sam_project_spark.operators.webgraph import anchor_topk
+
+    links = spark.createDataFrame(
+        [
+            # t.example: "alpha" x3, "beta" x2, "gamma" x2, "delta" x1
+            *[("u%d" % i, 0, "/a", "Alpha", "relative", "t.example") for i in range(3)],
+            *[("u%d" % i, 1, "/b", "beta", "relative", "t.example") for i in range(2)],
+            *[("u%d" % i, 2, "/c", "  Gamma ", "relative", "t.example") for i in range(2)],
+            ("u9", 3, "/d", "delta", "relative", "t.example"),
+            # non-resolving kinds and empty anchors never participate
+            ("u9", 4, "mailto:x", "mail-me", "special", None),
+            ("u9", 5, "#top", "", "fragment", None),
+            ("u9", 6, "/e", "   ", "relative", "t.example"),
+        ],
+        "url string, link_no int, href string, anchor string, kind string, dst_host string",
+    )
+    rows = anchor_topk(links, k=3).orderBy("rank").collect()
+    # beta/gamma tie at 2 -> anchor asc; delta (1) is cut by k=3
+    assert [(r.rank, r.anchor, r.n_links) for r in rows] == [
+        (1, "alpha", 3),
+        (2, "beta", 2),
+        (3, "gamma", 2),
+    ]
+
+
+def test_host_dup_ratio_exact(spark):
+    from ocr_sam_project_spark.operators.webgraph import host_dup_ratio
+
+    pages = spark.createDataFrame(
+        [
+            # a.example: 4 pages, 2 distinct texts (case/ws variants dedup)
+            ("https://a.example/1", "Hello  World"),
+            ("https://a.example/2", "hello world"),
+            ("https://a.example/3", "other"),
+            ("https://a.example/4", "OTHER"),
+            # b.example: 3 pages, 2 distinct -> 1/3 half-away = 0.333333
+            ("https://b.example/1", "x"),
+            ("https://b.example/2", "x"),
+            ("https://b.example/3", "y"),
+            # non-absolute url rows drop
+            ("not-a-url", "x"),
+        ],
+        "url string, text string",
+    )
+    got = {r.host: r for r in host_dup_ratio(pages).collect()}
+    assert set(got) == {"a.example", "b.example"}
+    assert (got["a.example"].n_pages, got["a.example"].n_distinct) == (4, 2)
+    assert got["a.example"].dup_ratio == 0.5
+    assert got["b.example"].dup_ratio == 0.333333
