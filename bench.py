@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "s_topk_quantized",
     "g_crawl_diff",
     "t_corpus_stats",
+    "t_ccnet_buckets",
+    "a_hll_distinct",
     "t_bigram_logprob",
     "s_kmeans",
     "s_topk_cosine",

@@ -4321,7 +4321,11 @@ _DRIVER_PRIORITY = [
     # t_curate_corpus funnel; still pytest-gated)
     "d_bloom_hits",
     "d_dedup_against_store",
-    "d_near_dedup_store",
+    # (d_near_dedup_store displaced by a_hll_distinct — a brand-new family
+    # (mergeable cardinality sketches) earns the row; the near-store probe
+    # shape stays in-window via d_bloom_hits + d_dedup_against_store and
+    # the whole near-dup store family remains pytest-oracle-gated)
+    "a_hll_distinct",
     "d_url_dedup",
     # (d_ngram_jaccard displaced by t_span_dedup: its Jaccard-verify shape
     # stays in-window inside d_minhash_lsh_portable; still pytest-gated)
@@ -4346,8 +4350,12 @@ _DRIVER_PRIORITY = [
     "t_pack_sequences",
     "t_boilerplate_strip",
     # (t_unigram_logprob displaced by g_crawl_diff: the decimal-exact LM
-    # accumulation shape stays in-window via t_bigram_logprob)
-    "t_token_budget",
+    # accumulation shape stays in-window via t_bigram_logprob;
+    # t_token_budget displaced by t_ccnet_buckets — the CCNet head/middle/
+    # tail tertile primitive composes the per-lang LM on top of the same
+    # decimal discipline, and the greedy-budget cumsum shape stays pinned
+    # by t_pack_sequences' identical per-stream cumsum window)
+    "t_ccnet_buckets",
     "t_gopher_rules",
     "t_dup_ngram_frac",
     # web-graph family (host degrees composes link-extract + edges; the
