@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "t_corpus_stats",
     "t_ccnet_buckets",
     "a_hll_distinct",
+    "a_cm_topk_terms",
     "t_bigram_logprob",
     "s_kmeans",
     "s_topk_cosine",

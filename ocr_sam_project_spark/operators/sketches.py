@@ -114,3 +114,72 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
 def hll_distinct(df: DataFrame, col: Column, p: int = 12) -> DataFrame:
     """One-shot composition: registers -> estimate."""
     return hll_estimate(hll_registers(df, col, p), p)
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): frequency estimation in
+# d*w bounded space.  Like the HLL above, the sketch table IS the mergeable
+# aggregation state (merge = per-cell SUM), the hashes are md5-portable so
+# a DuckDB oracle reproduces every cell and every estimate exactly, and the
+# one-sided error guarantee (est >= true; est <= true + eps*N w.h.p.) is
+# pinned by a property test.  Use: term/host/url frequency questions over
+# 10^12 rows where the exact aggregate's output cardinality (the full
+# vocabulary) is itself too large to shuffle or store.
+
+
+def cm_sketch(df: DataFrame, col: Column, d: int = 4, w: int = 1024) -> DataFrame:
+    """(row, bucket, cnt) cell table of a d x w Count-Min sketch over
+    `col`.  Row i's hash is the portable hash64 of 'i:' || value, mod w —
+    d independent-enough hash rows from one md5 per (i, value).
+
+    Scale: one narrow map fanning each value to its d cells (explode of a
+    codegen-built d-array), then ONE aggregate shuffle whose output is at
+    most d*w rows — map-side partials absorb hot values, so a mega-term
+    ships d partial counts per map task, not its occurrences."""
+    cells = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        hash64(F.concat(F.lit(f"{i}:"), col)), F.lit(w)
+                    ).cast("int")
+                    for i in range(d)
+                ]
+            )
+        ).alias("row", "bucket")
+    )
+    return cells.groupBy("row", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each probe value: est = MIN over the d
+    rows of the probed cell (absent cell = 0).  Returns (item, est_n).
+    The sketch is at most d*w rows — it BROADCASTS; the probe set never
+    shuffles."""
+    item = F.col(probe_col)
+    keyed = probes.select(
+        item.alias("item"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        hash64(F.concat(F.lit(f"{i}:"), item)), F.lit(w)
+                    ).cast("int")
+                    for i in range(d)
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    return (
+        keyed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_n"))
+    )

@@ -4233,6 +4233,63 @@ QUERY_FNS["a_hll_distinct"] = _a_hll_fn
 ORACLES["a_hll_distinct"] = _a_hll_duck()
 
 
+def _a_cm_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators.sketches import cm_estimate, cm_sketch
+    from .operators.textstats import normalize_for_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (
+        docs.select(
+            F.explode(
+                F.split(normalize_for_fingerprint(F.col("text")), " ")
+            ).alias("term")
+        )
+        .filter(F.col("term") != "")
+        # feeds both the sketch and the true-count branch: materialize once
+        .localCheckpoint(eager=False)
+    )
+    sk = cm_sketch(toks, F.col("term"), d=4, w=1024)
+    tc = toks.groupBy("term").agg(F.count("*").cast("long").alias("true_n"))
+    top = tc.orderBy(F.col("true_n").desc(), F.col("term")).limit(10)
+    est = cm_estimate(sk, top, "term", d=4, w=1024)
+    return top.join(F.broadcast(est), top.term == est.item).select(
+        "term", "true_n", "est_n"
+    )
+
+
+def _a_cm_duck(d: int = 4, w: int = 1024) -> str:
+    norm = _NORM_DUCK.format(x="text")
+    h = _H_DUCK.format(x="concat(CAST(i.i AS VARCHAR), ':', term)")
+    return f"""
+    WITH toks AS (SELECT unnest(regexp_split_to_array({norm}, ' ')) AS term
+                  FROM documents),
+    t2 AS (SELECT term FROM toks WHERE term <> ''),
+    tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS true_n FROM t2
+           GROUP BY term),
+    top AS (SELECT term, true_n FROM tc ORDER BY true_n DESC, term LIMIT 10),
+    cells AS (SELECT i.i AS row, CAST({h} % {w} AS INT) AS bucket
+              FROM t2 CROSS JOIN range({d}) i(i)),
+    sk AS (SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells
+           GROUP BY row, bucket),
+    keys AS (SELECT top.term, top.true_n, i.i AS row,
+                    CAST({h} % {w} AS INT) AS bucket
+             FROM top CROSS JOIN range({d}) i(i)),
+    est AS (SELECT term, true_n, MIN(COALESCE(sk.cnt, 0)) AS est_n
+            FROM keys LEFT JOIN sk ON sk.row = keys.row
+                                  AND sk.bucket = keys.bucket
+            GROUP BY term, true_n)
+    SELECT term, true_n, CAST(est_n AS BIGINT) AS est_n FROM est"""
+
+
+# Count-Min heavy-hitter probe: sketch the token stream into d*w cells,
+# point-query the exact top-10 terms — est_n >= true_n always (one-sided
+# error), both engines reproduce every cell and estimate exactly.
+QUERY_FNS["a_cm_topk_terms"] = _a_cm_fn
+ORACLES["a_cm_topk_terms"] = _a_cm_duck()
+
+
 def _g_anchor_topk_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webgraph import anchor_topk, extract_links
 

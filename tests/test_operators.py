@@ -1351,3 +1351,50 @@ def test_hll_registers_merge_and_accuracy(spark):
     )
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_cm_sketch_overestimates_and_merges(spark):
+    import pyspark.sql.functions as F
+
+    from ocr_sam_project_spark.operators.sketches import cm_estimate, cm_sketch
+
+    # deliberately tiny w forces collisions — the one-sided guarantee
+    # (est >= true, always) must hold anyway
+    n = 500
+    df = spark.range(n).select(
+        F.concat(F.lit("t"), (F.col("id") % 37).cast("string")).alias("v")
+    )
+    sk = cm_sketch(df, F.col("v"), d=3, w=16)
+    probes = df.distinct()
+    est = {r.item: r.est_n for r in cm_estimate(sk, probes, "v", d=3, w=16).collect()}
+    true = {r.v: r.n for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true), {
+        k: (est[k], true[k]) for k in true if est[k] < true[k]
+    }
+    # total mass conservation: every row of the sketch sums to n
+    mass = {
+        r.row: r.s
+        for r in sk.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert mass == {0: n, 1: n, 2: n}
+
+    # mergeability: cellwise SUM of two halves == sketch of the union
+    a = df.filter(F.col("id") < 250)
+    b = df.filter(F.col("id") >= 250)
+    merged = (
+        cm_sketch(a, F.col("v"), d=3, w=16)
+        .unionByName(cm_sketch(b, F.col("v"), d=3, w=16))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    whole = cm_sketch(df, F.col("v"), d=3, w=16)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+    # an absent item estimates from whatever collides — never negative,
+    # and 0 when its cells are untouched (w large enough to have gaps)
+    sk_big = cm_sketch(df, F.col("v"), d=3, w=4096)
+    ghost = spark.createDataFrame([("never-seen-xq9",)], "v string")
+    g = cm_estimate(sk_big, ghost, "v", d=3, w=4096).first()
+    assert g.est_n >= 0

@@ -596,3 +596,16 @@ def test_host_dup_ratio_two_bounded_shuffles(spark):
     # map-side partials, no text column past the first projection
     assert plan.count("Exchange") == 2, plan
     assert "Join" not in plan, plan
+
+
+def test_cm_sketch_single_shuffle_no_join(spark):
+    import pyspark.sql.functions as F2
+
+    from ocr_sam_project_spark.operators.sketches import cm_sketch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(cm_sketch(docs, F2.col("text")))
+    # narrow d-cell fanout + one bounded-cardinality aggregate shuffle
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan and "Python" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # map-side partials
