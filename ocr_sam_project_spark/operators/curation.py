@@ -392,8 +392,10 @@ def pack_sequences(
     )
 
 
-def _pack_binned(df, seq_len, num_parts, text_col, id_col, part_col):
-    """Shared packing core: per-doc (id, part_id, n_toks, _cum, bin_id)."""
+def _pack_binned(df, seq_len, num_parts, text_col, id_col, part_col, extra=None):
+    """Shared packing core: per-doc (id, part_id, n_toks, _cum, bin_id).
+    `extra` (name -> Column) carries payload THROUGH the stream window's one
+    shuffle — cheaper than a second join shuffle to re-attach it later."""
     from .textstats import token_count
 
     part = (
@@ -405,6 +407,7 @@ def _pack_binned(df, seq_len, num_parts, text_col, id_col, part_col):
         F.col(id_col).alias("id"),
         part.alias("part_id"),
         token_count(F.col(text_col)).cast("long").alias("n_toks"),
+        *[c.alias(n) for n, c in (extra or {}).items()],
     )
     w = (
         Window.partitionBy("part_id")
@@ -1147,3 +1150,98 @@ def ccnet_buckets(
         "avg_logprob",
         F.coalesce("_bucket", F.lit("tail")).alias("bucket"),
     )
+
+
+def pack_shards(
+    df: DataFrame,
+    seq_len: int = 512,
+    num_parts: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col=None,
+) -> DataFrame:
+    """MATERIALIZED packed bins — the step pack_assignments describes, done:
+    each stream's token sequence (docs concatenated in the frozen md5(id)
+    order) cut into seq_len blocks, with every block's actual text
+    assembled.  Returns (part_id, bin_id, n_frags, n_tokens, text) where
+    text is the block's space-joined tokens — EXACTLY seq_len tokens per
+    bin except each stream's final partial bin, and a document spanning a
+    block boundary is split across bins mid-document (the GPT-style packing
+    contract; n_frags counts the doc fragments touching the bin, which is
+    >= pack_sequences' n_docs-starting-here).
+
+    Scale shape (100 TB): the token arrays ride the stream window's ONE
+    per-part shuffle as extra payload (cheaper than a narrow window plus a
+    second corpus-wide join shuffle to re-attach text), each doc then
+    explodes to its >= 1 touched bins with a SLICED fragment (narrow; a
+    doc touches ceil(n_toks/seq_len)+1 bins at most, so the fanout carries
+    each token at most once plus block-boundary overlap of zero — slices
+    partition the doc), and one (part, bin)-keyed shuffle of fragment rows
+    assembles blocks.  Fragment assembly is an ordered fold of <= n_frags
+    short strings per bin — bounded by seq_len tokens total."""
+    from .textstats import tokens as _tokens
+
+    binned = _pack_binned(
+        df,
+        seq_len,
+        num_parts,
+        text_col,
+        id_col,
+        part_col,
+        extra={"_tk": _tokens(F.col(text_col))},
+    )
+    e = binned.filter(F.col("n_toks") > 0).withColumn(
+        "_s", F.col("_cum") - F.col("n_toks")
+    )
+    x = e.select(
+        "part_id",
+        "_s",
+        "_cum",
+        "_tk",
+        F.explode(
+            F.sequence(
+                F.col("bin_id"),
+                F.floor((F.col("_cum") - 1) / F.lit(seq_len)).cast("long"),
+            )
+        ).alias("_b"),
+    )
+    lo = F.greatest(F.col("_s"), F.col("_b") * seq_len)
+    hi = F.least(F.col("_cum"), (F.col("_b") + 1) * seq_len)
+    g = x.select(
+        "part_id",
+        F.col("_b").alias("bin_id"),
+        "_s",
+        (hi - lo).alias("_n"),
+        F.array_join(
+            F.slice(
+                F.col("_tk"),
+                (lo - F.col("_s") + 1).cast("int"),
+                (hi - lo).cast("int"),
+            ),
+            " ",
+        ).alias("_frag"),
+    )
+    return g.groupBy("part_id", "bin_id").agg(
+        F.count("*").cast("long").alias("n_frags"),
+        F.sum("_n").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_s").alias("s"), F.col("_frag").alias("f"))
+                    )
+                ),
+                lambda r: r["f"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+def write_packed_shards(df, out_dir: str, **kwargs) -> None:
+    """Shard-writer sink: pack_shards materialized as parquet partitioned
+    by part_id — one directory per training shard stream, resumable via
+    dynamic partition overwrite like every other sink in pipeline/job.py."""
+    pack_shards(df, **kwargs).write.mode("overwrite").partitionBy(
+        "part_id"
+    ).parquet(out_dir)

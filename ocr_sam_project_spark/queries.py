@@ -4233,6 +4233,56 @@ QUERY_FNS["a_hll_distinct"] = _a_hll_fn
 ORACLES["a_hll_distinct"] = _a_hll_duck()
 
 
+def _t_pack_shards_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import pack_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_shards(docs, seq_len=512, num_parts=8)
+
+
+def _t_pack_shards_duck(seq_len: int = 512, num_parts: int = 8) -> str:
+    toks = _TOKS_DUCK.format(x="text")
+    ntok = (
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        f"len({toks}) END AS BIGINT)"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id AS id, CAST(doc_id % {num_parts} AS INT) AS part_id,
+                      {ntok} AS n_toks, {toks} AS tk
+               FROM documents),
+    c AS (SELECT id, part_id, n_toks, tk,
+                 CAST(SUM(n_toks) OVER (PARTITION BY part_id
+                                        ORDER BY md5(CAST(id AS VARCHAR)), id
+                                        ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM t),
+    e AS (SELECT part_id, tk, cum, cum - n_toks AS s FROM c WHERE n_toks > 0),
+    x AS (SELECT part_id, s, cum, tk,
+                 unnest(generate_series(s // {seq_len},
+                                        (cum - 1) // {seq_len})) AS b
+          FROM e),
+    f AS (SELECT part_id, b AS bin_id, s, tk,
+                 GREATEST(s, b * {seq_len}) AS lo,
+                 LEAST(cum, (b + 1) * {seq_len}) AS hi
+          FROM x),
+    g AS (SELECT part_id, bin_id, s, hi - lo AS n,
+                 array_to_string(list_slice(tk, CAST(lo - s + 1 AS BIGINT),
+                                                CAST(hi - s AS BIGINT)),
+                                 ' ') AS frag
+          FROM f)
+    SELECT part_id, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frags,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           string_agg(frag, ' ' ORDER BY s) AS text
+    FROM g GROUP BY part_id, bin_id"""
+
+
+# materialized sequence packing: every 512-token block's actual text,
+# docs split mid-document at block boundaries (GPT packing contract).
+QUERY_FNS["t_pack_shards"] = _t_pack_shards_fn
+ORACLES["t_pack_shards"] = _t_pack_shards_duck()
+
+
 def _a_cm_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 

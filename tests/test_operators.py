@@ -1398,3 +1398,76 @@ def test_cm_sketch_overestimates_and_merges(spark):
     ghost = spark.createDataFrame([("never-seen-xq9",)], "v string")
     g = cm_estimate(sk_big, ghost, "v", d=3, w=4096).first()
     assert g.est_n >= 0
+
+
+def test_pack_shards_materializes_blocks(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from ocr_sam_project_spark.operators.curation import (
+        pack_assignments,
+        pack_shards,
+        write_packed_shards,
+    )
+
+    # one stream, seq_len 8: docs of 5/6/4 tokens -> stream of 15 tokens
+    # cut into [8, 7] with doc B split across the boundary
+    docs = spark.createDataFrame(
+        [
+            (0, "a1 a2 a3 a4 a5"),
+            (8, "b1 b2 b3 b4 b5 b6"),
+            (16, "c1 c2 c3 c4"),
+            (24, ""),  # empty doc contributes nothing
+        ],
+        "doc_id long, text string",
+    )
+    bins = {
+        (r.part_id, r.bin_id): r
+        for r in pack_shards(docs, seq_len=8, num_parts=1).collect()
+    }
+    assert set(bins) == {(0, 0), (0, 1)}
+    # frozen md5(id) order decides the stream; recover it from assignments
+    order = [
+        r.doc_id
+        for r in pack_assignments(docs, seq_len=8, num_parts=1)
+        .filter(F.col("n_toks") > 0)
+        .orderBy("bin_id", "offset")
+        .collect()
+    ]
+    texts = {0: "a1 a2 a3 a4 a5", 8: "b1 b2 b3 b4 b5 b6", 16: "c1 c2 c3 c4"}
+    stream = " ".join(texts[i] for i in order).split()
+    assert bins[(0, 0)].text == " ".join(stream[:8])
+    assert bins[(0, 0)].n_tokens == 8
+    assert bins[(0, 1)].text == " ".join(stream[8:])
+    assert bins[(0, 1)].n_tokens == 7
+    # the boundary-spanning doc is counted as a fragment in BOTH bins
+    assert bins[(0, 0)].n_frags + bins[(0, 1)].n_frags == 4
+
+    # sink: partitioned parquet round-trips and every non-final bin is full
+    out = str(tmp_path / "shards")
+    write_packed_shards(docs, out, seq_len=8, num_parts=1)
+    back = spark.read.parquet(out)
+    got = {(r.part_id, r.bin_id): r.text for r in back.collect()}
+    assert got[(0, 0)] == bins[(0, 0)].text and got[(0, 1)] == bins[(0, 1)].text
+
+
+def test_pack_shards_full_bins_at_scale(spark):
+    import pyspark.sql.functions as F
+
+    from ocr_sam_project_spark.operators.curation import pack_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    shards = pack_shards(docs, seq_len=512, num_parts=8)
+    # every bin except each part's max-bin holds exactly seq_len tokens,
+    # and the text token count agrees with n_tokens
+    from pyspark.sql import Window as W
+
+    maxb = W.partitionBy("part_id")
+    bad = (
+        shards.withColumn("_mx", F.max("bin_id").over(maxb))
+        .filter(
+            (F.col("bin_id") < F.col("_mx")) & (F.col("n_tokens") != 512)
+            | (F.size(F.split(F.col("text"), " ")) != F.col("n_tokens"))
+        )
+        .count()
+    )
+    assert bad == 0
