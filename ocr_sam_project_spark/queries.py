@@ -1136,19 +1136,30 @@ QUERY_FNS["t_quality"] = _t_quality_fn
 ORACLES["t_quality"] = _t_quality_duck()
 
 
+def _curate_survivors(df: DataFrame) -> DataFrame:
+    """The curation funnel's SURVIVOR stream over any (doc_id, text) frame:
+    exact dedup (keep-one) -> quality gate -> repetition gate.  Keeps
+    (doc_id, text, quality, rep stats) so downstream consumers (the rollup,
+    the shard packer) pick what they need."""
+    from .operators.dedup import dedup_keep
+    from .operators.textstats import quality_score, repetition_stats
+
+    kept = dedup_keep(df, "exact", text_col="text", id_col="doc_id")
+    c = F.col("text")
+    return repetition_stats(
+        kept.withColumn("quality", quality_score(c)).filter(F.col("quality") >= 0.5)
+    ).filter((F.col("dup_token_frac") <= 0.6) & (F.col("adjacent_repeat_frac") <= 0.1))
+
+
 def _curate_funnel(df: DataFrame) -> DataFrame:
     """The curation funnel over any (doc_id, text) frame: exact dedup
     (keep-one) -> quality gate -> repetition gate -> lang id -> per-lang
     rollup.  Shared by t_curate_corpus (parquet text) and g_wet_curate
     (WET-extracted text)."""
-    from .operators.dedup import dedup_keep
-    from .operators.textstats import lang_id, quality_score, repetition_stats, token_count
+    from .operators.textstats import lang_id, token_count
 
-    kept = dedup_keep(df, "exact", text_col="text", id_col="doc_id")
     c = F.col("text")
-    gated = repetition_stats(
-        kept.withColumn("quality", quality_score(c)).filter(F.col("quality") >= 0.5)
-    ).filter((F.col("dup_token_frac") <= 0.6) & (F.col("adjacent_repeat_frac") <= 0.1))
+    gated = _curate_survivors(df)
     return (
         gated.withColumn("lang_guess", lang_id(c))
         .withColumn("n_toks", token_count(c))
@@ -1175,11 +1186,28 @@ def _t_curate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curate_funnel(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _curate_survivor_ctes(src_ctes: str = "", src: str = "documents") -> str:
+    """CTE chain ending in gated(doc_id, text, quality) — the funnel's
+    survivor stream, shared by the rollup oracle and the shard-packing
+    composite's oracle."""
+    norm = _NORM_DUCK.format(x="text")
+    quality = _t_quality_duck().split("SELECT doc_id, ")[1].split(" AS quality FROM")[0]
+    rtoks = _TOKS_DUCK.format(x="text")
+    return f"""{src_ctes}fp AS (SELECT doc_id, text, md5({norm}) AS fp FROM {src}),
+    keep AS (SELECT doc_id, text FROM (
+               SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
+               FROM fp) t WHERE doc_id = keep_id),
+    q AS (SELECT doc_id, text, {quality} AS quality FROM keep),
+    qt AS (SELECT doc_id, text, quality, {rtoks} AS toks FROM q WHERE quality >= 0.5),
+    rs AS (SELECT doc_id, text, quality, {_REP_RAW_DUCK} FROM qt),
+    gated AS (SELECT doc_id, text, quality FROM rs
+              WHERE {_REP_DUP_FRAC_DUCK} <= 0.6
+                AND {_REP_ADJ_FRAC_DUCK} <= 0.1)"""
+
+
 def _t_curate_duck(src_ctes: str = "", src: str = "documents") -> str:
     from .operators.textstats import LANG_MARKERS
 
-    norm = _NORM_DUCK.format(x="text")
-    quality = _t_quality_duck().split("SELECT doc_id, ")[1].split(" AS quality FROM")[0]
     toks = f"list_distinct({_TOKS_DUCK.format(x='text')})"
     scores = {
         lang: f"len(list_intersect({toks}, {list(words)}))"
@@ -1194,18 +1222,8 @@ def _t_curate_duck(src_ctes: str = "", src: str = "documents") -> str:
         cases.append(f"WHEN {ge} THEN '{lang}'")
     score_sel = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
     ntok = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_DUCK.format(x='text')}) END"
-    rtoks = _TOKS_DUCK.format(x="text")
     return f"""
-    WITH {src_ctes}fp AS (SELECT doc_id, text, md5({norm}) AS fp FROM {src}),
-    keep AS (SELECT doc_id, text FROM (
-               SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
-               FROM fp) t WHERE doc_id = keep_id),
-    q AS (SELECT doc_id, text, {quality} AS quality FROM keep),
-    qt AS (SELECT doc_id, text, quality, {rtoks} AS toks FROM q WHERE quality >= 0.5),
-    rs AS (SELECT doc_id, text, quality, {_REP_RAW_DUCK} FROM qt),
-    gated AS (SELECT doc_id, text, quality FROM rs
-              WHERE {_REP_DUP_FRAC_DUCK} <= 0.6
-                AND {_REP_ADJ_FRAC_DUCK} <= 0.1),
+    WITH {_curate_survivor_ctes(src_ctes, src)},
     g AS (SELECT quality, {ntok} AS n_toks, {score_sel} FROM gated)
     SELECT (CASE {' '.join(cases)} ELSE 'und' END) AS lang_guess,
            COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
@@ -4121,6 +4139,9 @@ ORACLES["g_wet_curate"] = _t_curate_duck(
 )
 
 
+
+
+
 def _t_ccnet_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import ccnet_buckets
 
@@ -4240,16 +4261,24 @@ def _t_pack_shards_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(docs, seq_len=512, num_parts=8)
 
 
-def _t_pack_shards_duck(seq_len: int = 512, num_parts: int = 8) -> str:
-    toks = _TOKS_DUCK.format(x="text")
+def _t_pack_shards_duck(
+    seq_len: int = 512,
+    num_parts: int = 8,
+    src_ctes: str = "",
+    src: str = "documents",
+) -> str:
+    # CASE-PRESERVING split: the packer's textstats.tokens() does not
+    # lowercase (_TOKS_DUCK does — a divergence invisible on the all-
+    # lowercase parquet corpus, caught by the mixed-case WET composite)
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
     ntok = (
         "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
         f"len({toks}) END AS BIGINT)"
     )
     return f"""
-    WITH t AS (SELECT doc_id AS id, CAST(doc_id % {num_parts} AS INT) AS part_id,
+    WITH {src_ctes}t AS (SELECT doc_id AS id, CAST(doc_id % {num_parts} AS INT) AS part_id,
                       {ntok} AS n_toks, {toks} AS tk
-               FROM documents),
+               FROM {src}),
     c AS (SELECT id, part_id, n_toks, tk,
                  CAST(SUM(n_toks) OVER (PARTITION BY part_id
                                         ORDER BY md5(CAST(id AS VARCHAR)), id
@@ -4399,6 +4428,34 @@ def _g_dup_ratio_duck() -> str:
 # half-away rounding for the small-quotient ratio.
 QUERY_FNS["g_host_dup_ratio"] = _g_dup_ratio_fn
 ORACLES["g_host_dup_ratio"] = _g_dup_ratio_duck()
+
+
+def _g_crawl_shards_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE engine in one plan — crawl to training shards: raw html
+    -> WET main-text extraction -> exact dedup -> quality gate ->
+    repetition gate -> materialized 256-token packed blocks.  The WET
+    output is lazily checkpointed (the funnel's dedup consumes it twice —
+    same shared-subtree trap as g_wet_curate); the survivor stream feeds
+    pack_shards' single stream-window consumer directly."""
+    from .operators.curation import pack_shards
+    from .operators.webgraph import html_to_text
+
+    pages = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", f"CAST({_G_WET_HTML} AS BINARY) AS html"
+    )
+    wet = html_to_text(pages).select("doc_id", "text").localCheckpoint(eager=False)
+    surv = _curate_survivors(wet).select("doc_id", "text")
+    return pack_shards(surv, seq_len=256, num_parts=4)
+
+
+QUERY_FNS["g_crawl_to_shards"] = _g_crawl_shards_fn
+ORACLES["g_crawl_to_shards"] = _t_pack_shards_duck(
+    seq_len=256,
+    num_parts=4,
+    src_ctes=_curate_survivor_ctes(_wet_ctes().lstrip() + ",\n    ", "s8")
+    + ",\n    ",
+    src="gated",
+)
 
 
 # ===========================================================================

@@ -609,3 +609,16 @@ def test_cm_sketch_single_shuffle_no_join(spark):
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan and "Python" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan  # map-side partials
+
+
+def test_crawl_to_shards_single_corpus_scan(spark):
+    """The crawl-to-training-shards composite (WET -> curate survivors ->
+    pack_shards) must also run the WET regex chain exactly once: the
+    funnel's dedup consumes the WET frame twice, so both consumers read the
+    checkpointed RDD and the downstream plan scans parquet zero times."""
+    from ocr_sam_project_spark.queries import QUERY_FNS
+
+    plan = _plan(QUERY_FNS["g_crawl_to_shards"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "Python" not in plan, plan
