@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "t_ccnet_buckets",
     "a_hll_distinct",
     "a_cm_topk_terms",
+    "g_crawl_to_shards",
     "t_bigram_logprob",
     "s_kmeans",
     "s_topk_cosine",

@@ -546,3 +546,85 @@ def host_dup_ratio(
     return rolled.select(
         "host", "n_pages", "n_distinct", dup_micro.alias("dup_ratio")
     )
+
+
+# --------------------------------------------------------------------------
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse per-host robots.txt bodies into a rule table
+    (host, allow, prefix).  Contract (documented subset of REP/RFC 9309):
+    one effective user-agent-* section per body (section headers are not
+    tracked), `Allow:`/`Disallow:` lines case-insensitive, literal path
+    prefixes only (no * or $ wildcards), an empty Disallow (allow-all per
+    the spec) parses to no rule at all.  Pure codegen: split lines ->
+    one regexp per line -> filter; no shuffle."""
+    m = F.regexp_extract(
+        F.col("_line"), r"(?i)^\s*(allow|disallow)\s*:\s*(\S+)", 1
+    )
+    p = F.regexp_extract(
+        F.col("_line"), r"(?i)^\s*(allow|disallow)\s*:\s*(\S+)", 2
+    )
+    return (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.explode(F.split(F.col(txt_col), "\n")).alias("_line"),
+        )
+        .select(
+            "host",
+            (F.lower(m) == "allow").alias("allow"),
+            p.alias("prefix"),
+            m.alias("_m"),
+        )
+        .filter((F.col("_m") != "") & (F.col("prefix") != ""))
+        .drop("_m")
+    )
+
+
+def robots_filter(
+    pages: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Robots admission verdict per page: the LONGEST rule prefix matching
+    the url path wins; on a length tie Allow wins; a host with no matching
+    rule (or no rules at all) admits the page — the REP precedence rule.
+    Returns the pages columns plus `allowed` boolean.
+
+    The winner is found WITHOUT a struct argmax: each matching rule scores
+    len(prefix)*2 + (1 if allow) — MAX of that integer encodes (longest,
+    tie->allow) and the verdict is just the winner's parity.  One integer
+    MAX per url, no collect_list of rules.
+
+    Scale shape (100 TB pages, rules table = hosts x tens of rules): pages
+    with a rule-less host BYPASS the whole machinery via a broadcast-able
+    distinct-host anti-join (the common case — most hosts publish no
+    robots or only allow-alls); only the ruled slice pays the host-keyed
+    join (co-partitioned, rule fanout bounded per host) and the url-keyed
+    verdict aggregate, both carrying (url, small-int) payloads, never
+    html.  A mega-host's pages spread over the url aggregate's hash
+    partitioning — per-url groups are rule-count-sized."""
+    path0 = F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1)
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    keyed = pages.withColumn("_host", F.nullif(host_of(F.col(url_col)), F.lit("")))
+    ruled_hosts = rules.select(F.col("host").alias("_host")).distinct()
+    # rule-less hosts: admitted without touching the join
+    free = keyed.join(ruled_hosts, "_host", "left_anti").withColumn(
+        "allowed", F.lit(True)
+    )
+    cand = keyed.join(ruled_hosts, "_host", "left_semi").withColumn("_path", path)
+    scored = (
+        cand.select(url_col, "_host", "_path")
+        .join(rules.withColumnRenamed("host", "_host"), "_host")
+        .filter(F.col("_path").startswith(F.col("prefix")))
+        .groupBy(url_col)
+        .agg(
+            F.max(
+                F.length("prefix") * 2 + F.col("allow").cast("int")
+            ).alias("_win")
+        )
+    )
+    verdict = cand.join(scored, url_col, "left").withColumn(
+        "allowed",
+        F.coalesce(F.col("_win") % 2 == 1, F.lit(True)),
+    )
+    out_cols = pages.columns + ["allowed"]
+    return free.select(*out_cols).unionByName(verdict.select(*out_cols))

@@ -4396,6 +4396,72 @@ QUERY_FNS["g_anchor_topk"] = _g_anchor_topk_fn
 ORACLES["g_anchor_topk"] = _g_anchor_topk_duck()
 
 
+def _g_robots_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.webgraph import parse_robots, robots_filter
+
+    pages = _g_pages(spark, sf_dir).select("url")
+    i = F.col("id").cast("string")
+    nl = F.lit("\n")
+    robots = (
+        spark.range(11)
+        .filter(F.col("id") % 3 != 2)  # every third host publishes none
+        .select(
+            F.concat(F.lit("host"), i, F.lit(".example.org")).alias("host"),
+            F.concat(
+                F.lit("User-agent: *"), nl,
+                F.lit("Disallow: /d/"), i, nl,
+                F.lit("Allow: /d/"), i, F.lit("7"), nl,
+                # empty Disallow = allow-all per REP: parses to NO rule
+                F.when(F.col("id") % 2 == 0, F.concat(F.lit("Disallow:"), nl))
+                .otherwise(F.lit("")),
+                F.lit("# crawl politely"),
+            ).alias("robots_txt"),
+        )
+    )
+    return robots_filter(pages, parse_robots(robots))
+
+
+def _g_robots_duck() -> str:
+    rx = r"(?i)^\s*(allow|disallow)\s*:\s*(\S+)"
+    path_rx = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)?"
+    return f"""
+    WITH p AS (SELECT {_G_URL} AS url FROM documents),
+    rb AS (SELECT concat('host', CAST(i AS VARCHAR), '.example.org') AS host,
+                  concat('User-agent: *', chr(10),
+                         'Disallow: /d/', CAST(i AS VARCHAR), chr(10),
+                         'Allow: /d/', CAST(i AS VARCHAR), '7', chr(10),
+                         CASE WHEN i % 2 = 0 THEN concat('Disallow:', chr(10))
+                              ELSE '' END,
+                         '# crawl politely') AS robots_txt
+           FROM range(11) t(i) WHERE i % 3 <> 2),
+    lines AS (SELECT host, unnest(string_split(robots_txt, chr(10))) AS line
+              FROM rb),
+    rl AS (SELECT host,
+                  lower(regexp_extract(line, '{rx}', 1)) AS m,
+                  regexp_extract(line, '{rx}', 2) AS prefix
+           FROM lines),
+    r2 AS (SELECT host, m = 'allow' AS allow, prefix FROM rl
+           WHERE m <> '' AND prefix <> ''),
+    pg AS (SELECT url, lower(regexp_extract(url, '{_G_ABS_RE}', 1)) AS host,
+                  COALESCE(nullif(regexp_extract(url, '{path_rx}', 1), ''),
+                           '/') AS path
+           FROM p),
+    sc AS (SELECT pg.url,
+                  MAX(len(prefix) * 2 + CASE WHEN allow THEN 1 ELSE 0 END)
+                    AS win
+           FROM pg JOIN r2 ON r2.host = pg.host
+                          AND starts_with(pg.path, r2.prefix)
+           GROUP BY pg.url)
+    SELECT pg.url, COALESCE(sc.win % 2 = 1, TRUE) AS allowed
+    FROM pg LEFT JOIN sc ON sc.url = pg.url"""
+
+
+# robots.txt admission (REP longest-prefix precedence, Allow wins ties;
+# integer-encoded winner, rule-less hosts bypass the join entirely).
+QUERY_FNS["g_robots_filter"] = _g_robots_fn
+ORACLES["g_robots_filter"] = _g_robots_duck()
+
+
 def _g_dup_ratio_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webgraph import host_dup_ratio
 

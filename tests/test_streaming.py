@@ -101,6 +101,13 @@ def test_streaming_dedup_first_wins(spark, tmp_path):
     b2 = [page("b://4", "texto unico primero"), page("b://e2", "")]
     pq.write_table(pa.Table.from_pylist(b1, schema=PAGES_ARROW_SCHEMA), str(in_dir / "b1.parquet"))
     pq.write_table(pa.Table.from_pylist(b2, schema=PAGES_ARROW_SCHEMA), str(in_dir / "b2.parquet"))
+    # FileStreamSource orders micro-batches by file MODIFICATION TIME, and
+    # two writes can land in the same mtime tick — a tie lets b2 process
+    # first and batch-2's url win the fingerprint state (seen once in a
+    # contended full-suite run).  Pin the order explicitly.
+    import os as _os
+
+    _os.utime(str(in_dir / "b1.parquet"), (1_000_000_000, 1_000_000_000))
 
     pages = (
         spark.readStream.schema(
@@ -188,3 +195,43 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert (0, 3) in final and (0, 4) not in final
     # ...and the 10:20 window finalized (count 1) once the watermark passed
     assert (20, 1) in final
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """The HLL register table is a plain (groupBy bucket -> MAX) aggregate,
+    so it runs UNDER STRUCTURED STREAMING for free in complete mode — the
+    live-distinct-count dashboard shape.  Registers after all files arrive
+    must equal the batch sketch (=> identical estimates), which also pins
+    that the sketch state is bounded at 2^p rows."""
+    import os
+
+    from ocr_sam_project_spark.operators.sketches import hll_estimate, hll_registers
+    from ocr_sam_project_spark.sources.io import write_pages_parquet
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    write_pages_parquet(f"{in_dir}/part1.parquet", n=60, seed=42)
+    write_pages_parquet(f"{in_dir}/part2.parquet", n=40, seed=7)
+
+    batch_df = spark.read.parquet(in_dir)
+    stream = spark.readStream.schema(batch_df.schema).parquet(in_dir)
+    regs = hll_registers(stream, F.col("url"), p=8)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        _process_all(q)
+    finally:
+        q.stop()
+
+    streamed = spark.table("hll_regs")
+    batch = hll_registers(batch_df, F.col("url"), p=8)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    assert (
+        hll_estimate(streamed, p=8).first().est_distinct
+        == hll_estimate(batch, p=8).first().est_distinct
+    )

@@ -393,3 +393,48 @@ def test_host_dup_ratio_exact(spark):
     assert (got["a.example"].n_pages, got["a.example"].n_distinct) == (4, 2)
     assert got["a.example"].dup_ratio == 0.5
     assert got["b.example"].dup_ratio == 0.333333
+
+
+def test_robots_filter_rep_precedence(spark):
+    from ocr_sam_project_spark.operators.webgraph import parse_robots, robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.example",
+                "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+                "Disallow: /private/ok\n# comment",
+            ),
+            # only an empty Disallow (allow-all per REP) -> parses to NO
+            # rule, so the host takes the rule-less bypass
+            ("b.example", "User-agent: *\nDisallow:\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    assert sorted(
+        (r.host, r.allow, r.prefix) for r in rules.collect()
+    ) == [
+        ("a.example", False, "/private"),
+        ("a.example", False, "/private/ok"),
+        ("a.example", True, "/private/ok"),
+    ]
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/private/x",),
+            ("https://a.example/private/okay",),
+            ("https://a.example/public",),
+            ("https://a.example",),
+            ("https://b.example/anything",),
+            ("https://c.example/x",),
+        ],
+        "url string",
+    )
+    got = {r.url: r.allowed for r in robots_filter(pages, rules).collect()}
+    assert got["https://a.example/private/x"] is False  # longest = /private
+    # /private/ok allow vs /private/ok disallow: equal length -> Allow wins
+    assert got["https://a.example/private/okay"] is True
+    assert got["https://a.example/public"] is True  # no matching rule
+    assert got["https://a.example"] is True  # bare host -> path '/'
+    assert got["https://b.example/anything"] is True  # rule-less bypass
+    assert got["https://c.example/x"] is True  # host never published robots
