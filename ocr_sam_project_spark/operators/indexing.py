@@ -1,0 +1,149 @@
+"""Inverted-index construction — the search/retrieval-side primitive of a
+web corpus engine (BM25 retrieval, contamination lookups, and
+training-data attribution all start from term -> posting lists).
+
+Reference parity note: the reference has no index at all (per-document
+Lambda processing); this is the Spark-native corpus analog, like
+operators/curation.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import normalize_for_fingerprint
+
+
+def inverted_postings(
+    df: DataFrame,
+    max_postings: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Term -> capped posting list:
+    (term, n_docs, postings array<id>, truncated).
+
+    n_docs is the TRUE document frequency (the BM25 idf input); postings
+    holds the `max_postings` smallest doc ids, ascending; truncated flags
+    capped terms.  Doc-level postings (positions are span_dedup's domain).
+
+    Scale shape (100 TB): the (term, id) distinct pairs shuffle ONCE on
+    term; the rank-and-cap and the list assembly both reuse that
+    partitioning (one Exchange total, plan-guarded).  The cap is applied
+    BEFORE collect_list via row_number, so a stopword's posting list never
+    materializes corpus-wide — Spark 4 plans a partial WindowGroupLimit
+    ahead of the exchange, bounding even the map-side spill of hot terms
+    to max_postings rows per task; n_docs still counts every occurrence
+    via the same window pass.  An uncapped collect_list on 'the' at 10^12
+    docs would be the exact uncapped-quadratic-corner class the LSH family
+    guards against — the cap is not optional at scale."""
+    pairs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(normalize_for_fingerprint(F.col(text_col)), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        # ONE explicit term-shuffle; a bare .distinct() would partition by
+        # (term, id) and force the window to re-shuffle on term.  Term
+        # partitioning satisfies the (term, id) dedup's clustering too, so
+        # dropDuplicates, the window, and the final groupBy all reuse it.
+        .repartition("term")
+        .dropDuplicates(["term", "id"])
+    )
+    w_term = Window.partitionBy("term")
+    w_rank = w_term.orderBy("id")
+    ranked = pairs.select(
+        "term",
+        "id",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count("*").over(w_term).alias("_n"),
+    )
+    return (
+        ranked.filter(F.col("_rn") <= max_postings)
+        .groupBy("term")
+        .agg(
+            F.max("_n").cast("long").alias("n_docs"),
+            F.sort_array(F.collect_list("id")).alias("postings"),
+            (F.max("_n") > max_postings).alias("truncated"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval over the corpus for one query: returns the top-k
+    (id, n_terms_hit, score) by Robertson/Sparck-Jones BM25 with the
+    usual (k1, b) shape and idf = ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    Cross-engine determinism: each (doc, term) partial score is rounded to
+    6 dp and cast DECIMAL(18,6) BEFORE the per-doc sum (the established LM
+    discipline — float sums are partition-order-dependent); ranking
+    compares the exact decimal, ties break on id.
+
+    Scale shape (100 TB): the corpus scan explodes tokens but the query-
+    term filter applies INSIDE the explode stage, so only matching (id,
+    term, dl) rows — query-hit-sized, not corpus-sized — reach the one
+    aggregate shuffle; doc length rides the explode (no join back to the
+    corpus).  df-per-term and the (N, avgdl) stats fold to query-sized /
+    single-row tables and broadcast.  The only full-corpus aggregate is
+    the (N, sum dl) stats pass, which a production deployment precomputes
+    at ingest — kept inline here so the query is self-contained and the
+    oracle closed-form.  Final top-k is a k-row TakeOrdered, never a
+    global sort."""
+    from .textstats import token_count
+
+    qt = sorted({t.lower() for t in query_terms})
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).cast("long").alias("dl"),
+        F.explode(
+            F.split(normalize_for_fingerprint(F.col(text_col)), " ")
+        ).alias("term"),
+    ).filter(F.col("term").isin(qt))
+    # tf feeds TWO consumers (df-per-term + the score join); without the
+    # lazy checkpoint Spark re-runs the corpus explode per consumer
+    tf = (
+        toks.groupBy("id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
+    stats = df.agg(
+        F.count("*").cast("double").alias("_n"),
+        (F.sum(token_count(F.col(text_col))).cast("double")
+         / F.count("*")).alias("_avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("_df"))
+    idf = F.log((F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0)
+    part = (
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms_hit"),
+            F.sum(F.round(part, 6).cast("decimal(18,6)")).alias("_s"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("_s").desc(), F.col("id"))
+        .limit(k)
+        .select(
+            F.col("id").alias(id_col),
+            "n_terms_hit",
+            F.col("_s").cast("double").alias("score"),
+        )
+    )

@@ -4312,6 +4312,86 @@ QUERY_FNS["t_pack_shards"] = _t_pack_shards_fn
 ORACLES["t_pack_shards"] = _t_pack_shards_duck()
 
 
+def _t_inverted_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.indexing import inverted_postings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return inverted_postings(docs, max_postings=16)
+
+
+def _t_inverted_duck(cap: int = 16) -> str:
+    norm = _NORM_DUCK.format(x="text")
+    return f"""
+    WITH raw AS (SELECT doc_id AS id,
+                        unnest(regexp_split_to_array({norm}, ' ')) AS term
+                 FROM documents),
+    pairs AS (SELECT DISTINCT term, id FROM raw WHERE term <> ''),
+    w AS (SELECT term, id,
+                 ROW_NUMBER() OVER (PARTITION BY term ORDER BY id) AS rn,
+                 COUNT(*) OVER (PARTITION BY term) AS n
+          FROM pairs)
+    SELECT term, CAST(MAX(n) AS BIGINT) AS n_docs,
+           list(id ORDER BY id) AS postings,
+           MAX(n) > {cap} AS truncated
+    FROM w WHERE rn <= {cap} GROUP BY term"""
+
+
+# inverted index with capped posting lists: true df + the cap smallest doc
+# ids per term — the cap applies BEFORE assembly (a stopword's postings
+# never materialize corpus-wide), one term-shuffle total.
+QUERY_FNS["t_inverted_index"] = _t_inverted_fn
+ORACLES["t_inverted_index"] = _t_inverted_duck()
+
+
+_BM25_TERMS = ["spark", "filter", "window"]
+
+
+def _t_bm25_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.indexing import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, _BM25_TERMS, k=10)
+
+
+def _t_bm25_duck(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    norm = _NORM_DUCK.format(x="text")
+    dl = (
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        r"len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)"
+    )
+    terms = ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS))
+    return f"""
+    WITH tk AS (SELECT doc_id AS id, {dl} AS dl,
+                       unnest(regexp_split_to_array({norm}, ' ')) AS term
+                FROM documents),
+    cand AS (SELECT id, dl, term FROM tk WHERE term IN ({terms})),
+    tf AS (SELECT id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM cand
+           GROUP BY id, term),
+    st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM({dl}) AS DOUBLE) / COUNT(*) AS avgdl
+           FROM documents),
+    dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfr FROM tf
+            GROUP BY term),
+    sc AS (SELECT tf.id, COUNT(*) AS n_terms_hit,
+                  SUM(CAST(ROUND(
+                        ln((st.n - dfq.dfr + 0.5) / (dfq.dfr + 0.5) + 1.0)
+                        * (tf.tf * ({k1!r} + 1.0))
+                        / (tf.tf + {k1!r} * (1.0 - {b!r}
+                                             + {b!r} * tf.dl / st.avgdl)),
+                        6) AS DECIMAL(18,6))) AS s
+           FROM tf JOIN dfq USING (term) CROSS JOIN st
+           GROUP BY tf.id)
+    SELECT id AS doc_id, CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+           CAST(s AS DOUBLE) AS score
+    FROM sc ORDER BY s DESC, id LIMIT {k}"""
+
+
+# BM25 top-k retrieval: query-hit-sized aggregation (term filter inside
+# the explode stage), decimal-exact per-doc score accumulation.
+QUERY_FNS["t_bm25_topk"] = _t_bm25_fn
+ORACLES["t_bm25_topk"] = _t_bm25_duck()
+
+
 def _a_cm_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 

@@ -1471,3 +1471,51 @@ def test_pack_shards_full_bins_at_scale(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_inverted_postings_cap_and_df(spark):
+    import pyspark.sql.functions as F
+
+    from ocr_sam_project_spark.operators.indexing import inverted_postings
+
+    # 'common' in 10 docs, 'rare' in docs 3 and 7 only
+    docs = spark.createDataFrame(
+        [(i, "common " + ("rare" if i in (3, 7) else "filler%d" % i)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    got = {r.term: r for r in inverted_postings(docs, max_postings=4).collect()}
+    c = got["common"]
+    assert c.n_docs == 10 and c.truncated is True
+    assert c.postings == [0, 1, 2, 3]  # the cap SMALLEST ids, ascending
+    r = got["rare"]
+    assert r.n_docs == 2 and r.truncated is False and r.postings == [3, 7]
+
+
+def test_bm25_ranking_semantics(spark):
+    from ocr_sam_project_spark.operators.indexing import bm25_topk
+
+    # 'zebra' is rare (high idf), 'data' is everywhere (low idf); doc 1
+    # hits both query terms, doc 2 only the rare one, doc 3 only the
+    # common one, doc 4 neither
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra data data words words"),
+            (2, "zebra words words words words"),
+            (3, "data words words words words"),
+            (4, "words words words words words"),
+            (5, "data words"),
+        ] + [(10 + i, "filler%d words" % i) for i in range(10)],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, ["zebra", "data"], k=4).collect()
+    ids = [r.doc_id for r in rows]
+    assert ids[0] == 1  # both terms beats either alone
+    assert set(ids[1:3]) >= {2}  # the rare-term doc ranks above common-only
+    assert 4 not in ids  # no hit, no row
+    assert rows[0].n_terms_hit == 2
+    # scores strictly ordered, desc
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    z2 = [r for r in rows if r.doc_id == 2][0]
+    d3 = [r for r in rows if r.doc_id == 3][0]
+    assert z2.score > d3.score  # idf: rare term outweighs common term

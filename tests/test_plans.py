@@ -622,3 +622,16 @@ def test_crawl_to_shards_single_corpus_scan(spark):
     assert plan.count("Scan parquet") == 0, plan
     assert plan.count("Scan ExistingRDD") == 2, plan
     assert "Python" not in plan, plan
+
+
+def test_inverted_postings_one_shuffle_capped_window(spark):
+    from ocr_sam_project_spark.queries import QUERY_FNS
+
+    df = QUERY_FNS["t_inverted_index"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # dedup, rank-cap, and list assembly all reuse the ONE term shuffle
+    assert plan.count("Exchange") == 1, plan
+    # the cap applies before collect_list, with a partial WindowGroupLimit
+    # bounding hot terms per map task
+    assert "WindowGroupLimit" in plan, plan
+    assert "Join" not in plan, plan
