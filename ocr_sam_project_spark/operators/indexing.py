@@ -28,16 +28,18 @@ def inverted_postings(
     holds the `max_postings` smallest doc ids, ascending; truncated flags
     capped terms.  Doc-level postings (positions are span_dedup's domain).
 
-    Scale shape (100 TB): the (term, id) distinct pairs shuffle ONCE on
-    term; the rank-and-cap and the list assembly both reuse that
-    partitioning (one Exchange total, plan-guarded).  The cap is applied
-    BEFORE collect_list via row_number, so a stopword's posting list never
-    materializes corpus-wide — Spark 4 plans a partial WindowGroupLimit
-    ahead of the exchange, bounding even the map-side spill of hot terms
-    to max_postings rows per task; n_docs still counts every occurrence
-    via the same window pass.  An uncapped collect_list on 'the' at 10^12
-    docs would be the exact uncapped-quadratic-corner class the LSH family
-    guards against — the cap is not optional at scale."""
+    Scale shape (100 TB): the (term, id) pairs shuffle ONCE on term; the
+    dedup, the rank window, and the final aggregate all reuse that
+    partitioning (one Exchange total, plan-guarded).  Because n_docs is
+    the TRUE df, every pair must reach its term partition — no group
+    limit can apply — so the cap's job is bounding what gets COLLECTED:
+    row_number gates collect_list via a when() (collect_list skips
+    nulls), and a stopword's posting ARRAY never materializes corpus-wide
+    while its count still streams through the hash aggregate.  An
+    uncapped collect_list on 'the' at 10^12 docs would be the exact
+    uncapped-corner class the LSH family guards against — the cap is not
+    optional at scale.  (If approximate df suffices, feed cm_sketch
+    instead and cap the shuffle itself.)"""
     pairs = (
         df.select(
             F.col(id_col).alias("id"),
@@ -53,22 +55,16 @@ def inverted_postings(
         .repartition("term")
         .dropDuplicates(["term", "id"])
     )
-    w_term = Window.partitionBy("term")
-    w_rank = w_term.orderBy("id")
+    w_rank = Window.partitionBy("term").orderBy("id")
     ranked = pairs.select(
-        "term",
-        "id",
-        F.row_number().over(w_rank).alias("_rn"),
-        F.count("*").over(w_term).alias("_n"),
+        "term", "id", F.row_number().over(w_rank).alias("_rn")
     )
-    return (
-        ranked.filter(F.col("_rn") <= max_postings)
-        .groupBy("term")
-        .agg(
-            F.max("_n").cast("long").alias("n_docs"),
-            F.sort_array(F.collect_list("id")).alias("postings"),
-            (F.max("_n") > max_postings).alias("truncated"),
-        )
+    return ranked.groupBy("term").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_rn") <= max_postings, F.col("id")))
+        ).alias("postings"),
+        (F.count("*") > max_postings).alias("truncated"),
     )
 
 

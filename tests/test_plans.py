@@ -629,9 +629,9 @@ def test_inverted_postings_one_shuffle_capped_window(spark):
 
     df = QUERY_FNS["t_inverted_index"](spark, "/root/testdata/sf0.001")
     plan = _plan(df)
-    # dedup, rank-cap, and list assembly all reuse the ONE term shuffle
+    # dedup, rank window, and list assembly all reuse the ONE term shuffle
     assert plan.count("Exchange") == 1, plan
-    # the cap applies before collect_list, with a partial WindowGroupLimit
-    # bounding hot terms per map task
-    assert "WindowGroupLimit" in plan, plan
+    # exactly the rank window (true df forbids a group limit; the cap
+    # gates collect_list instead) and no join anywhere
+    assert plan.count("Window [") == 1, plan
     assert "Join" not in plan, plan
