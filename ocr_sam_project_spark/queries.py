@@ -4658,7 +4658,10 @@ _DRIVER_PRIORITY = [
     "t_tfidf_topk",
     "t_bigram_logprob",
     "t_pack_sequences",
-    "t_boilerplate_strip",
+    # (t_boilerplate_strip displaced by t_bm25_topk — the retrieval family
+    # earns a row; the per-domain template-line shape stays pinned by
+    # t_line_dedup's first-occurrence window + t_domain_cap's grouping)
+    "t_bm25_topk",
     # (t_unigram_logprob displaced by g_crawl_diff: the decimal-exact LM
     # accumulation shape stays in-window via t_bigram_logprob;
     # t_token_budget displaced by t_ccnet_buckets — the CCNet head/middle/
@@ -4667,7 +4670,10 @@ _DRIVER_PRIORITY = [
     # by t_pack_sequences' identical per-stream cumsum window)
     "t_ccnet_buckets",
     "t_gopher_rules",
-    "t_dup_ngram_frac",
+    # (t_dup_ngram_frac displaced by g_robots_filter — REP admission is a
+    # new family; the gram-position-multiplicity shape stays pinned by
+    # t_span_dedup's gram-window composite)
+    "g_robots_filter",
     # web-graph family (host degrees composes link-extract + edges; the
     # blocklist row pins the broadcast suffix anti-join)
     "g_host_degrees",
@@ -4698,10 +4704,12 @@ _DRIVER_PRIORITY = [
     "w5_sessionize",
     # CDX-style crawl snapshot diff (full-outer join + url-keyed reduces)
     "g_crawl_diff",
-    # (g_html_text displaced by g_wet_curate, which strictly subsumes it:
-    # the WET conversion chain feeds the full curation funnel end-to-end;
-    # j4's broadcast equi-join shape stays in-window via x8_enrich_inject)
-    "g_wet_curate",
+    # (g_html_text displaced by g_wet_curate in wave 3; wave 4 extends the
+    # same chain again: g_crawl_to_shards = WET -> funnel survivors ->
+    # materialized packed blocks, strictly more pipeline than g_wet_curate,
+    # whose rollup-aggregate shape stays pinned by t_curate_corpus; j4's
+    # broadcast equi-join shape stays in-window via x8_enrich_inject)
+    "g_crawl_to_shards",
     "j5_asof_join",
     # --- 50-row window boundary: everything below still runs in the pytest
     # all-oracle parity gate (x1's bank is in-window via pipeline_cedulas;
