@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "a_hll_distinct",
     "a_cm_topk_terms",
     "g_crawl_to_shards",
+    "t_bm25_topk",
+    "g_robots_filter",
     "t_bigram_logprob",
     "s_kmeans",
     "s_topk_cosine",
