@@ -777,3 +777,76 @@ def topk_cosine_quantized(
         ).alias("qsim"),
     )
     return scored.orderBy(F.col("qsim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    tau_pos: float = 0.35,
+    neg_lo: float = 0.1,
+    neg_hi: float = 0.3,
+    n_centroids: int = 8,
+    max_cluster: int = 64,
+    n_planes: int | None = None,
+    max_bucket: int = MAX_RHP_BUCKET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive training-pair mining — the embedding-model dataset
+    constructor, composed from this module's own blocking structures:
+
+    * POSITIVES (label 1): RHP-bucketed near-dup pairs, cos >= tau_pos
+      (near_dup_cosine — bucket-capped, plane-scaled).
+    * HARD NEGATIVES (label 0): pairs sharing an IVF coarse cell whose
+      cosine lands in [neg_lo, neg_hi) — same region of space, provably
+      not near-dups; the band's upper edge keeps them HARD (closest
+      non-positives) and the lower edge keeps the pair count bounded.
+    * The ambiguous band [neg_hi, tau_pos) is emitted to neither class —
+      disjoint by construction (requires neg_hi <= tau_pos).
+
+    Returns (id_a, id_b, sim, label), a < b.
+
+    Scale shape: both sides inherit their generators' guards — the
+    positive join is RHP-bucketed + salt-capped, the negative join is
+    IVF-cell-keyed + salt-capped (max_cluster), so Σ n_c² stays bounded
+    under centroid skew exactly as in semantic_dedup.  Norms precompute
+    once per row; one dot per candidate pair."""
+    from .skew import spread_scan  # noqa: F401  (parity with near_dup path)
+
+    assert neg_hi <= tau_pos, "ambiguity band must separate the classes"
+    pos = near_dup_cosine(
+        df,
+        tau=tau_pos,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        max_bucket=max_bucket,
+    ).withColumn("label", F.lit(1))
+    assigned = ivf_assign(df, n_centroids, id_col=id_col, vec_col=vec_col)
+    s = assigned.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
+        "centroid_id",
+    )
+    s = salted_group_cap(s, ["centroid_id"], max_cluster, "id")
+    a, b = s.alias("a"), s.alias("b")
+    sim = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+    )
+    neg = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a._salt") == F.col("b._salt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("sim", sim)
+        .filter((F.col("sim") >= neg_lo) & (F.col("sim") < neg_hi))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            "sim",
+            F.lit(0).alias("label"),
+        )
+    )
+    return pos.unionByName(neg)

@@ -1544,39 +1544,118 @@ def _s_rhp_near_dup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _s_rhp_near_dup_duck() -> str:
+def _rhp_pair_ctes(
+    tau: float, n_planes: int, cap: int, prefix: str = "rp"
+) -> tuple[str, str]:
+    """(CTE chain, pair-SELECT) for the capped RHP near-dup path —
+    parameterized + name-prefixed so composites can embed it flat."""
     from .operators.similarity import deterministic_planes
 
-    planes = deterministic_planes(64, _RHP_ND_PLANES)
+    planes = deterministic_planes(64, n_planes)
     pl = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
     sig_bits = " + ".join(
         f"CASE WHEN list_dot_product(e.ea, {pl[i]}) >= 0 THEN {2**i} ELSE 0 END"
-        for i in range(_RHP_ND_PLANES)
+        for i in range(n_planes)
     )
-    cap = _RHP_ND_CAP
     salt_h = _H_DUCK.format(x="CAST(s.vec_id AS VARCHAR)")
     cos_p = (
         "ROUND(list_dot_product(a.ea, b.ea) /"
         " (sqrt(list_dot_product(a.ea, a.ea)) *"
         "  sqrt(list_dot_product(b.ea, b.ea))), 6)"
     )
-    return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings),
-    s AS (SELECT vec_id, ea, ({sig_bits}) AS sig FROM e),
-    gz AS (SELECT sig, COUNT(*) AS gn FROM s GROUP BY sig),
-    s2 AS (SELECT s.vec_id, s.ea, s.sig,
+    p = prefix
+    ctes = f"""{p}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings),
+    {p}s AS (SELECT vec_id, ea, ({sig_bits}) AS sig FROM {p}e e),
+    {p}gz AS (SELECT sig, COUNT(*) AS gn FROM {p}s GROUP BY sig),
+    {p}s2 AS (SELECT s.vec_id, s.ea, s.sig,
                   CASE WHEN gz.gn > {cap}
                        THEN {salt_h} % CAST(ceil(gz.gn / {cap}.0) AS BIGINT)
                        ELSE 0 END AS salt
-           FROM s JOIN gz ON gz.sig = s.sig)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_p} AS sim
-    FROM s2 a JOIN s2 b ON a.sig = b.sig AND a.salt = b.salt
+           FROM {p}s s JOIN {p}gz gz ON gz.sig = s.sig)"""
+    sel = f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_p} AS sim
+    FROM {p}s2 a JOIN {p}s2 b ON a.sig = b.sig AND a.salt = b.salt
                        AND a.vec_id < b.vec_id
-    WHERE {cos_p} >= {_RHP_ND_TAU}"""
+    WHERE {cos_p} >= {tau}"""
+    return ctes, sel
+
+
+def _s_rhp_near_dup_duck() -> str:
+    ctes, sel = _rhp_pair_ctes(_RHP_ND_TAU, _RHP_ND_PLANES, _RHP_ND_CAP)
+    return f"""
+    WITH {ctes}
+    {sel}"""
 
 
 QUERY_FNS["s_rhp_near_dup"] = _s_rhp_near_dup_fn
 ORACLES["s_rhp_near_dup"] = _s_rhp_near_dup_duck()
+
+
+_CP_NEG_LO, _CP_NEG_HI, _CP_CELLS, _CP_CLUSTER_CAP = 0.1, 0.3, 8, 64
+
+
+def _s_contrastive_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import contrastive_pairs
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return contrastive_pairs(
+        df,
+        tau_pos=_RHP_ND_TAU,
+        neg_lo=_CP_NEG_LO,
+        neg_hi=_CP_NEG_HI,
+        n_centroids=_CP_CELLS,
+        max_cluster=_CP_CLUSTER_CAP,
+        n_planes=_RHP_ND_PLANES,
+        max_bucket=_RHP_ND_CAP,
+    )
+
+
+def _s_contrastive_duck() -> str:
+    pos_ctes, pos_sel = _rhp_pair_ctes(_RHP_ND_TAU, _RHP_ND_PLANES, _RHP_ND_CAP)
+    cos_ec = (
+        "ROUND(list_dot_product(ea, ca) / (sqrt(list_dot_product(ea, ea))"
+        " * sqrt(list_dot_product(ca, ca))), 6)"
+    )
+    cos_ab = (
+        "ROUND(list_dot_product(a.ea, b.ea) /"
+        " (sqrt(list_dot_product(a.ea, a.ea)) *"
+        "  sqrt(list_dot_product(b.ea, b.ea))), 6)"
+    )
+    salt_h = _H_DUCK.format(x="CAST(s.vec_id AS VARCHAR)")
+    cap = _CP_CLUSTER_CAP
+    return f"""
+    WITH {pos_ctes},
+    ne AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings),
+    ncent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ca
+              FROM embeddings
+              ORDER BY {_H_DUCK.format(x="CAST(vec_id AS VARCHAR)")}
+              LIMIT {_CP_CELLS}),
+    nd AS (SELECT e.vec_id, c.cid, {cos_ec} AS sim
+           FROM ne e CROSS JOIN ncent c),
+    nbest AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid ASC) AS rk
+                FROM nd) t WHERE rk = 1),
+    ns AS (SELECT b.vec_id, b.cid, e.ea FROM nbest b
+           JOIN ne e ON e.vec_id = b.vec_id),
+    ngz AS (SELECT cid, COUNT(*) AS gn FROM ns GROUP BY cid),
+    ns2 AS (SELECT s.vec_id, s.ea, s.cid,
+                   CASE WHEN gz.gn > {cap}
+                        THEN {salt_h} % CAST(ceil(gz.gn / {cap}.0) AS BIGINT)
+                        ELSE 0 END AS salt
+            FROM ns s JOIN ngz gz ON gz.cid = s.cid)
+    SELECT id_a, id_b, sim, 1 AS label FROM ({pos_sel}) pos
+    UNION ALL
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS sim, 0 AS label
+    FROM ns2 a JOIN ns2 b ON a.cid = b.cid AND a.salt = b.salt
+                         AND a.vec_id < b.vec_id
+    WHERE {cos_ab} >= {_CP_NEG_LO} AND {cos_ab} < {_CP_NEG_HI}"""
+
+
+# contrastive pair mining: near-dup positives + same-IVF-cell banded hard
+# negatives, both sides inheriting their generators' skew guards.
+QUERY_FNS["s_contrastive_pairs"] = _s_contrastive_fn
+ORACLES["s_contrastive_pairs"] = _s_contrastive_duck()
 
 # ===========================================================================
 # M — multimodal plumbing (binary column feature extraction)

@@ -1519,3 +1519,24 @@ def test_bm25_ranking_semantics(spark):
     z2 = [r for r in rows if r.doc_id == 2][0]
     d3 = [r for r in rows if r.doc_id == 3][0]
     assert z2.score > d3.score  # idf: rare term outweighs common term
+
+
+def test_contrastive_pairs_classes_disjoint_and_banded(spark):
+    from ocr_sam_project_spark.operators.similarity import contrastive_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = contrastive_pairs(
+        emb, tau_pos=0.35, neg_lo=0.1, neg_hi=0.3, n_centroids=4,
+        max_cluster=32, n_planes=4, max_bucket=16,
+    ).collect()
+    pos = [(r.id_a, r.id_b) for r in rows if r.label == 1]
+    neg = [(r.id_a, r.id_b) for r in rows if r.label == 0]
+    assert pos and neg, (len(pos), len(neg))
+    # a pair belongs to at most one class (the ambiguity band separates)
+    assert not set(pos) & set(neg)
+    for r in rows:
+        assert r.id_a < r.id_b
+        if r.label == 1:
+            assert r.sim >= 0.35
+        else:
+            assert 0.1 <= r.sim < 0.3
