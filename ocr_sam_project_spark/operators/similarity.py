@@ -810,8 +810,6 @@ def contrastive_pairs(
     IVF-cell-keyed + salt-capped (max_cluster), so Σ n_c² stays bounded
     under centroid skew exactly as in semantic_dedup.  Norms precompute
     once per row; one dot per candidate pair."""
-    from .skew import spread_scan  # noqa: F401  (parity with near_dup path)
-
     assert neg_hi <= tau_pos, "ambiguity band must separate the classes"
     pos = near_dup_cosine(
         df,

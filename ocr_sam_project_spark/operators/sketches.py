@@ -50,6 +50,11 @@ def hll_registers(df: DataFrame, col: Column, p: int = 12) -> DataFrame:
     (hash + two integer ops) and one <= 2^p-cardinality shuffle with
     map-side partial MAX; output is at most 2^p rows regardless of input
     size."""
+    if not 4 <= p <= 24:
+        # p <= 3 lets max rank (56-p)+1 exceed 53, turning the estimate's
+        # claimed-exact 2^(53-M) decimal terms fractional (and rounding
+        # them differently per engine) — fail loudly, not approximately
+        raise ValueError(f"hll p must be in [4, 24], got {p}")
     rem_bits = _HASH_BITS - p
     h = hash64(col)
     bucket = F.pmod(h, F.lit(1 << p)).cast("int")
@@ -127,6 +132,23 @@ def hll_distinct(df: DataFrame, col: Column, p: int = 12) -> DataFrame:
 # vocabulary) is itself too large to shuffle or store.
 
 
+def _cm_cells(col: Column, d: int, w: int):
+    """The d (row, bucket) cells a value maps to — ONE definition shared by
+    build and probe: if these ever drifted apart, point queries would hash
+    to different cells than the sketch and the est >= true guarantee would
+    silently break."""
+    return F.posexplode(
+        F.array(
+            *[
+                F.pmod(hash64(F.concat(F.lit(f"{i}:"), col)), F.lit(w)).cast(
+                    "int"
+                )
+                for i in range(d)
+            ]
+        )
+    )
+
+
 def cm_sketch(df: DataFrame, col: Column, d: int = 4, w: int = 1024) -> DataFrame:
     """(row, bucket, cnt) cell table of a d x w Count-Min sketch over
     `col`.  Row i's hash is the portable hash64 of 'i:' || value, mod w —
@@ -136,18 +158,7 @@ def cm_sketch(df: DataFrame, col: Column, d: int = 4, w: int = 1024) -> DataFram
     codegen-built d-array), then ONE aggregate shuffle whose output is at
     most d*w rows — map-side partials absorb hot values, so a mega-term
     ships d partial counts per map task, not its occurrences."""
-    cells = df.select(
-        F.posexplode(
-            F.array(
-                *[
-                    F.pmod(
-                        hash64(F.concat(F.lit(f"{i}:"), col)), F.lit(w)
-                    ).cast("int")
-                    for i in range(d)
-                ]
-            )
-        ).alias("row", "bucket")
-    )
+    cells = df.select(_cm_cells(col, d, w).alias("row", "bucket"))
     return cells.groupBy("row", "bucket").agg(
         F.count("*").cast("long").alias("cnt")
     )
@@ -166,17 +177,7 @@ def cm_estimate(
     shuffles."""
     item = F.col(probe_col)
     keyed = probes.select(
-        item.alias("item"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.pmod(
-                        hash64(F.concat(F.lit(f"{i}:"), item)), F.lit(w)
-                    ).cast("int")
-                    for i in range(d)
-                ]
-            )
-        ).alias("row", "bucket"),
+        item.alias("item"), _cm_cells(item, d, w).alias("row", "bucket")
     )
     return (
         keyed.join(F.broadcast(sketch), ["row", "bucket"], "left")

@@ -1540,3 +1540,36 @@ def test_contrastive_pairs_classes_disjoint_and_banded(spark):
             assert r.sim >= 0.35
         else:
             assert 0.1 <= r.sim < 0.3
+
+
+def test_hll_rejects_degenerate_p(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    from ocr_sam_project_spark.operators.sketches import hll_registers
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("v"))
+    with _pt.raises(ValueError, match=r"\[4, 24\]"):
+        hll_registers(df, F.col("v"), p=3)
+
+
+def test_write_packed_shards_resume_preserves_other_parts(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from ocr_sam_project_spark.operators.curation import write_packed_shards
+
+    out = str(tmp_path / "shards")
+    docs = spark.createDataFrame(
+        [(i, "w%d a b c" % i) for i in range(20)], "doc_id long, text string"
+    )
+    evens = docs.filter(F.col("doc_id") % 2 == 0)  # -> part_id 0 only
+    odds = docs.filter(F.col("doc_id") % 2 == 1)  # -> part_id 1 only
+    write_packed_shards(evens, out, seq_len=8, num_parts=2)
+    before = spark.read.parquet(out).filter(F.col("part_id") == 0).count()
+    assert before > 0
+    # a resume run writing ONLY part 1 must not wipe part 0 (dynamic
+    # partition overwrite is set on the writer, not assumed from session)
+    write_packed_shards(odds, out, seq_len=8, num_parts=2)
+    after = spark.read.parquet(out)
+    assert after.filter(F.col("part_id") == 0).count() == before
+    assert after.filter(F.col("part_id") == 1).count() > 0

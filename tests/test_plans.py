@@ -553,6 +553,9 @@ def test_ccnet_bounds_broadcast_no_corpus_sort(spark):
     # the tertile boundary table joins back by broadcast — the corpus side
     # never shuffles for bucket assignment
     assert "BroadcastHashJoin" in plan, plan
+    # scored is checkpointed: both consumers (histogram + probe join) read
+    # the SAME materialized RDD — the corpus is scanned once, upstream
+    assert plan.count("Scan parquet") == 0, plan
     # exactly the two window aggregates (cumulative start + per-lang total)
     # over the (lang, cell) HISTOGRAM — never a window over corpus rows
     assert plan.count("Window [") == 2, plan
