@@ -3999,6 +3999,9 @@ QUERY_FNS["g_crawl_diff"] = _g_crawl_diff_fn
 ORACLES["g_crawl_diff"] = _g_crawl_diff_duck()
 
 
+
+
+
 QUERY_FNS["g_latest_snapshot"] = _g_latest_snapshot_fn
 ORACLES["g_latest_snapshot"] = _g_latest_snapshot_duck()
 
@@ -4112,6 +4115,52 @@ def _g_host_rank_duck(damping: float = _HR_DAMPING, iters: int = _HR_ITERS) -> s
 
 QUERY_FNS["g_host_rank"] = _g_host_rank_fn
 ORACLES["g_host_rank"] = _g_host_rank_duck()
+
+
+def _g_frontier_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier planning — the operators composing into the next
+    crawl's work list: the snapshot diff's 'new'+'changed' urls (the
+    incremental fetch set) prioritized by the target host's PageRank
+    (seed scheduling / politeness-budget allocation).  The rank table is
+    host-cardinality-sized and BROADCASTS onto the url work list; hosts
+    absent from the link graph get priority 0."""
+    from .operators.webgraph import extract_links, host_edges, host_of, host_rank
+
+    diff = _g_crawl_diff_fn(spark, sf_dir)
+    work = diff.filter(F.col("status").isin("new", "changed")).select(
+        "canonical_url", "status", "curr_id"
+    )
+    ranks = host_rank(
+        host_edges(extract_links(_g_pages(spark, sf_dir))),
+        damping=_HR_DAMPING,
+        iters=_HR_ITERS,
+    )
+    w = work.withColumn("host", host_of(F.col("canonical_url")))
+    return w.join(F.broadcast(ranks), "host", "left").select(
+        "canonical_url",
+        "status",
+        "curr_id",
+        "host",
+        F.coalesce(F.col("rank"), F.lit(0.0)).alias("priority"),
+    )
+
+
+def _g_frontier_duck() -> str:
+    return f"""
+    WITH work AS (SELECT canonical_url, status, curr_id
+                  FROM ({_g_crawl_diff_duck()}) d
+                  WHERE status IN ('new', 'changed')),
+    hr AS (SELECT host, rank FROM ({_g_host_rank_duck()}) r)
+    SELECT w.canonical_url, w.status, w.curr_id,
+           lower(regexp_extract(w.canonical_url, '{_G_ABS_RE}', 1)) AS host,
+           COALESCE(hr.rank, 0.0) AS priority
+    FROM work w LEFT JOIN hr
+      ON hr.host = lower(regexp_extract(w.canonical_url, '{_G_ABS_RE}', 1))"""
+
+
+# crawl-frontier composite: diff work list x broadcast host-rank priority.
+QUERY_FNS["g_frontier"] = _g_frontier_fn
+ORACLES["g_frontier"] = _g_frontier_duck()
 
 
 # --- WET conversion (webgraph.html_to_text): html -> main text ------------

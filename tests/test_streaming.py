@@ -235,3 +235,38 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
         hll_estimate(streamed, p=8).first().est_distinct
         == hll_estimate(batch, p=8).first().est_distinct
     )
+
+
+def test_streaming_cm_sketch_matches_batch(spark, tmp_path):
+    """Count-Min cells are a plain (groupBy -> COUNT) aggregate, so the
+    sketch builds under Structured Streaming complete mode with d*w-row
+    state — the live heavy-hitter dashboard shape."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    from ocr_sam_project_spark.operators.sketches import cm_sketch
+    from ocr_sam_project_spark.sources.io import write_pages_parquet
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    write_pages_parquet(f"{in_dir}/part1.parquet", n=50, seed=42)
+    write_pages_parquet(f"{in_dir}/part2.parquet", n=50, seed=7)
+
+    batch_df = spark.read.parquet(in_dir)
+    stream = spark.readStream.schema(batch_df.schema).parquet(in_dir)
+    q = (
+        cm_sketch(stream, SF.col("lang"), d=3, w=64)
+        .writeStream.format("memory")
+        .queryName("cm_cells")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        _process_all(q)
+    finally:
+        q.stop()
+    streamed = spark.table("cm_cells")
+    batch = cm_sketch(batch_df, SF.col("lang"), d=3, w=64)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
