@@ -122,6 +122,7 @@ def run_extraction_job(
     url_dedup: bool = False,
     pii_scrub: bool = False,
     blocklist=None,
+    robots_rules=None,
 ) -> dict:
     """Run (or resume) the extraction pipeline.
 
@@ -159,6 +160,14 @@ def run_extraction_job(
     never touches the html/text columns).  Dropped counts land in lineage
     as `url_dups_dropped`; the text-dedup / fp-store universes exclude url
     losers so every dropped page is audited exactly once.
+
+    `robots_rules` (a parse_robots output (host, allow, prefix), or None)
+    applies the REP admission verdict per url as tier -0.5 — after the
+    blocklist (blocked pages never pay the robots join), before url
+    canonicalization.  Refusals get their own `robots_dropped` summary /
+    metrics counter; in lineage they fold into the admission column
+    (`blocked_dropped` audits all admission refusals) so each dropped
+    page lands in exactly one lineage bucket.
 
     `blocklist` (DataFrame with a `domain` column, or None) refuses
     ADMISSION to pages whose url host — or any parent domain of it — is
@@ -235,6 +244,34 @@ def run_extraction_job(
         todo = todo.join(bl_losers, "url", "left_anti")
         dedup_universe = dedup_universe.join(bl_losers, "url", "left_anti")
         tm = _mark("blocklist", tm)
+
+    # --- tier -0.5: robots.txt admission (REP verdict per url) -----------
+    # `robots_rules` is a parse_robots output (host, allow, prefix).  Runs
+    # after the blocklist (blocked pages never pay the robots join) and
+    # before url canonicalization.  Refused counts get their own summary /
+    # metrics counter; in LINEAGE they fold into the admission column
+    # (blocked_dropped audits ALL admission refusals — blocklist + robots —
+    # so each dropped page still lands in exactly one lineage bucket).
+    robots_by_part: dict[int, int] = {}
+    robots_dropped = 0
+    if robots_rules is not None:
+        from ..operators.webgraph import robots_filter
+
+        rb_losers = (
+            robots_filter(dedup_universe.select("url"), robots_rules)
+            .filter(~F.col("allowed"))
+            .select("url")
+            .localCheckpoint()  # eager: the verdict DAG runs exactly once
+        )
+        robots_by_part = _per_part_counts(rb_losers)
+        robots_dropped = sum(robots_by_part.values())
+        todo = todo.join(rb_losers, "url", "left_anti")
+        dedup_universe = dedup_universe.join(rb_losers, "url", "left_anti")
+        tm = _mark("robots", tm)
+    admission_by_part = {
+        p: blocked_by_part.get(p, 0) + robots_by_part.get(p, 0)
+        for p in set(blocked_by_part) | set(robots_by_part)
+    }
 
     # --- tier 0: canonical-URL dedup (no text read at all) ---------------
     url_drops_by_part: dict[int, int] = {}
@@ -441,7 +478,7 @@ def run_extraction_job(
     }
     dedup_only_parts = sorted(
         p
-        for p in set(drops_by_part) | set(url_drops_by_part) | set(blocked_by_part)
+        for p in set(drops_by_part) | set(url_drops_by_part) | set(admission_by_part)
         if p not in seen_parts
     )
     if not stats_rows and not dedup_only_parts:
@@ -450,6 +487,7 @@ def run_extraction_job(
                 "store_dups_dropped": store_dups_dropped,
                 "url_dups_dropped": url_dups_dropped,
                 "blocked_dropped": blocked_dropped,
+                "robots_dropped": robots_dropped,
                 "pii_redactions": 0,
                 "skipped_parts": sorted(done), "elapsed_sec": 0.0}
     stats = spark.createDataFrame(
@@ -457,12 +495,12 @@ def run_extraction_job(
             (r.part_id, "completed", r.docs_in, r.segments_out, r.errors,
              drops_by_part.get(r.part_id, 0),
              url_drops_by_part.get(r.part_id, 0),
-             blocked_by_part.get(r.part_id, 0), r.pii_n or 0, run_id, run_ts)
+             admission_by_part.get(r.part_id, 0), r.pii_n or 0, run_id, run_ts)
             for r in stats_rows
         ]
         + [
             (p, "completed", 0, 0, 0, drops_by_part.get(p, 0),
-             url_drops_by_part.get(p, 0), blocked_by_part.get(p, 0), 0,
+             url_drops_by_part.get(p, 0), admission_by_part.get(p, 0), 0,
              run_id, run_ts)
             for p in dedup_only_parts
         ],
@@ -481,6 +519,7 @@ def run_extraction_job(
             (run_id, "store_dups_dropped", float(store_dups_dropped), run_ts),
             (run_id, "url_dups_dropped", float(url_dups_dropped), run_ts),
             (run_id, "blocked_dropped", float(blocked_dropped), run_ts),
+            (run_id, "robots_dropped", float(robots_dropped), run_ts),
             (run_id, "pii_redactions", float(pii_redactions_total), run_ts),
             (run_id, "elapsed_sec", float(elapsed), run_ts),
             (run_id, "docs_per_sec", float(docs_in) / elapsed if elapsed > 0 else 0.0, run_ts),
@@ -515,6 +554,7 @@ def run_extraction_job(
         "store_dups_dropped": store_dups_dropped,
         "url_dups_dropped": url_dups_dropped,
         "blocked_dropped": blocked_dropped,
+        "robots_dropped": robots_dropped,
         "pii_redactions": pii_redactions_total,
         "skipped_parts": sorted(done),
         "elapsed_sec": elapsed,

@@ -365,33 +365,53 @@ def test_job_all_curation_tiers_compose(spark, pages_parquet, tmp_path):
     e = dict(nonempty[0]); e["url"] = "https://ads.blocked.example/spam"
     e["text"] = "contenido de spam que jamas debe entrar al corpus"
     e["html"] = None
+    #  F: robots-disallowed path / G: same host, allowed path -> robots
+    #  tier drops F only
+    f = dict(nonempty[0]); f["url"] = "https://r.example.com/private/secreto"
+    f["text"] = "contenido privado que robots prohibe rastrear aqui"
+    f["html"] = None
+    g = dict(nonempty[0]); g["url"] = "https://r.example.com/public/nota"
+    g["text"] = "contenido publico permitido por robots txt aqui"
+    g["html"] = None
     in2 = tmp_path / "c2"
     in2.mkdir()
     pq.write_table(
-        pa.Table.from_pylist([a1, a2, b, c1, c2, d, e], schema=base.schema),
+        pa.Table.from_pylist([a1, a2, b, c1, c2, d, e, f, g], schema=base.schema),
         str(in2 / "p.parquet"),
     )
 
     blocked = spark.createDataFrame([("blocked.example",)], "domain string")
+    from ocr_sam_project_spark.operators.webgraph import parse_robots
+
+    robots = parse_robots(
+        spark.createDataFrame(
+            [("r.example.com", "User-agent: *\nDisallow: /private\n")],
+            "host string, robots_txt string",
+        )
+    )
     s = run_extraction_job(
         spark, str(in2), str(tmp_path / "o2"), run_id="c2", num_parts=8,
         dedup="exact", fp_store_path=store, url_dedup=True, pii_scrub=True,
-        blocklist=blocked,
+        blocklist=blocked, robots_rules=robots,
     )
     assert s["blocked_dropped"] == 1    # e (suffix match on parent domain)
+    assert s["robots_dropped"] == 1     # f (Disallow /private); g admitted
     assert s["url_dups_dropped"] == 1   # a2 (utm variant)
     assert s["dups_dropped"] == 1       # c2 (in-run text dup)
     assert s["store_dups_dropped"] == 1  # b (re-crawl)
-    assert s["docs_in"] == 3            # a1, c1, d extracted
+    assert s["docs_in"] == 4            # a1, c1, d, g extracted
     assert s["pii_redactions"] >= 2     # d's email + cedula (at least)
 
     written = spark.read.parquet(f"{tmp_path}/o2/extractions")
     assert written.filter(F.col("url") == a2["url"]).count() == 0
     assert written.filter(F.col("url") == e["url"]).count() == 0
+    assert written.filter(F.col("url") == f["url"]).count() == 0
+    assert written.filter(F.col("url") == g["url"]).count() > 0
     lineage = spark.read.parquet(f"{tmp_path}/o2/lineage").filter(
         F.col("run_id") == "c2"
     )
-    assert lineage.agg(F.sum("blocked_dropped")).first()[0] == 1
+    # the lineage admission column audits blocklist + robots refusals
+    assert lineage.agg(F.sum("blocked_dropped")).first()[0] == 2
     d_rows = written.filter(F.col("url") == d["url"]).collect()
     assert d_rows and all(
         "maria@" not in (r.extracted_text or "") for r in d_rows
