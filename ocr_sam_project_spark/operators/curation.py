@@ -1267,3 +1267,30 @@ def write_packed_shards(df, out_dir: str, **kwargs) -> None:
         .partitionBy("part_id")
         .parquet(out_dir)
     )
+
+
+def ccnet_mixture(
+    df: DataFrame,
+    weights: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's downstream sampling recipe composed end-to-end: bucket every
+    document into per-language LM-score tertiles (ccnet_buckets), then
+    keep each doc with the bucket's probability via the frozen md5 coin
+    (mixture_sample over the computed bucket column).  The default
+    weights {head: 1.0, middle: 0.5, tail: 0.1} mirror the
+    keep-fluent/downsample-middling/mostly-drop-tail shape CCNet-style
+    corpora use.  Returns the sampled (id, lang, n_tokens, avg_logprob,
+    bucket) rows — deterministic, resume-stable.
+
+    Scale shape: ccnet_buckets' bounded-histogram plan plus a narrow
+    coin filter — sampling adds NO shuffle."""
+    weights = {"head": 1.0, "middle": 0.5, "tail": 0.1} if weights is None else weights
+    return mixture_sample(
+        ccnet_buckets(df, text_col, id_col, lang_col),
+        weights,
+        domain_col="bucket",
+        id_col=id_col,
+    )

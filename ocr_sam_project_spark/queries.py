@@ -4333,6 +4333,38 @@ QUERY_FNS["t_ccnet_buckets"] = _t_ccnet_fn
 ORACLES["t_ccnet_buckets"] = _t_ccnet_duck()
 
 
+_CCNET_MIX = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+
+
+def _t_ccnet_mix_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import ccnet_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ccnet_mixture(docs, weights=_CCNET_MIX)
+
+
+def _t_ccnet_mix_duck() -> str:
+    def thr(w: float) -> str:
+        return format(min(max(int(w * (1 << 32)), 0), (1 << 32) - 1), "08x")
+
+    coin = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    conds = " OR ".join(
+        f"(bucket = '{b}' AND "
+        + ("TRUE" if w >= 1.0 else f"{coin} < '{thr(w)}'")
+        + ")"
+        for b, w in sorted(_CCNET_MIX.items())
+    )
+    return f"""
+    SELECT * FROM ({_t_ccnet_duck()}) b
+    WHERE {conds}"""
+
+
+# CCNet's downstream recipe: tertile buckets -> frozen-coin weighted keep
+# (head 1.0 / middle 0.5 / tail 0.1); sampling adds no shuffle.
+QUERY_FNS["t_ccnet_mixture"] = _t_ccnet_mix_fn
+ORACLES["t_ccnet_mixture"] = _t_ccnet_mix_duck()
+
+
 def _a_hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 

@@ -1573,3 +1573,25 @@ def test_write_packed_shards_resume_preserves_other_parts(spark, tmp_path):
     after = spark.read.parquet(out)
     assert after.filter(F.col("part_id") == 0).count() == before
     assert after.filter(F.col("part_id") == 1).count() > 0
+
+
+def test_ccnet_mixture_rates(spark):
+    import pyspark.sql.functions as F
+
+    from ocr_sam_project_spark.operators.curation import (
+        ccnet_buckets,
+        ccnet_mixture,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    buckets = ccnet_buckets(docs)
+    kept = ccnet_mixture(docs)
+    nb = {r.bucket: r.n for r in buckets.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    nk = {r.bucket: r.n for r in kept.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert nk["head"] == nb["head"]  # weight 1.0 keeps everything
+    # frozen-coin keeps track the configured rates within binomial slack
+    assert 0.3 <= nk["middle"] / nb["middle"] <= 0.7
+    assert nk.get("tail", 0) / nb["tail"] <= 0.25
+    # determinism: the same call returns the identical set
+    again = ccnet_mixture(docs).select("doc_id")
+    assert kept.select("doc_id").exceptAll(again).count() == 0
