@@ -381,10 +381,6 @@ def pack_sequences(
     cross-partition block boundaries differ from a single global
     concatenation — at 10^12 docs a global order is neither feasible nor
     wanted (each training shard packs its own stream)."""
-    from pyspark.sql import Window
-
-    from .textstats import token_count
-
     binned = _pack_binned(df, seq_len, num_parts, text_col, id_col, part_col)
     return binned.groupBy("part_id", "bin_id").agg(
         F.count("*").alias("n_docs"),
@@ -904,8 +900,16 @@ def dsir_weights(
         .select(
             F.col("id").alias(id_col),
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.round(
-                F.col("_sum_d").cast("double") / F.col("n_tokens"), 6
+            # sign-aware EXACT integer half-away mean — round(sum/n, 6) on a
+            # scale-6 decimal over a small n lands on half-micro boundaries
+            # constantly and the engines disagree there (the same class
+            # _avg_logprob_expr closed for the always-negative LM sums; a
+            # DSIR delta sum can be either sign, hence the SIGN factor)
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN"
+                " CAST((CASE WHEN _sum_d < 0 THEN -1 ELSE 1 END)"
+                " * ((2 * ABS(CAST(_sum_d * 1000000 AS BIGINT)) + n_tokens)"
+                " DIV (2 * n_tokens)) AS DOUBLE) / 1000000 + 0.0 END"
             ).alias("avg_logratio"),
         )
     )

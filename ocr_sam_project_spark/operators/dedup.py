@@ -513,6 +513,19 @@ def _banded(sig_df: DataFrame, k: int, bands: int, fast: bool) -> DataFrame:
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def store_banded_table(
+    store_sigs: DataFrame,
+    k: int = N_HASHES,
+    bands: int = N_BANDS,
+    fast: bool = True,
+) -> DataFrame:
+    """The INGEST half of near_store_matches' scale contract: band the
+    signature store once and persist the result (bucketed by
+    (band, bucket) via sources.bucketing.write_bucketed), so every probe
+    batch reuses it and the store is never re-shuffled per crawl."""
+    return _banded(store_sigs.select(F.col("id"), F.col("sig")), k, bands, fast)
+
+
 def near_store_matches(
     new_df: DataFrame,
     store_sigs: DataFrame,
@@ -523,6 +536,7 @@ def near_store_matches(
     sim_threshold: float = 0.5,
     max_bucket: int = MAX_BUCKET,
     fast: bool = True,
+    store_banded: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-dup matches of a new crawl against the PERSISTED signature
     store — the MinHash analog of dedup_against_store's exact-fp tier:
@@ -536,22 +550,28 @@ def near_store_matches(
     sim_threshold, via shared LSH band buckets.  Deterministic and fully
     SQL-expressible (exact DuckDB twin on the portable hash path).
 
-    Scale shape (100 TB store): the store keeps its banded bucket table
-    persisted AND BUCKETED by (band, bucket) (sources.bucketing), so the
-    probe shuffles only the NEW batch's banded rows (bands x |new| rows,
-    integers + a 32-char bucket key); the store never moves.  Store buckets
-    larger than max_bucket are dropped before the join — one boilerplate
-    bucket cannot fan a probe row out 10^6 ways (same cap²-memory reasoning
-    as MAX_BUCKET/MAX_SIMHASH_BUCKET).  The signature-agreement verify
-    joins store sigs back by store_id — broadcast-sized per probe batch in
-    the normal (<1% re-crawl-drift) regime."""
+    Scale shape (100 TB store): pass `store_banded` — the banded bucket
+    table from `store_banded_table(store_sigs)`, persisted at INGEST and
+    bucketed by (band, bucket) via sources.bucketing — and the probe
+    shuffles only the NEW batch's banded rows (bands x |new| rows,
+    integers + a 32-char bucket key); the store never moves.  Without it
+    (small-store / test path) the store is re-banded inline, which is a
+    store-sized shuffle PER PROBE — fine at bench scale, wrong at 100 TB;
+    the docstring contract lives in the parameter, not in hope.  Store
+    buckets larger than max_bucket are dropped before the join — one
+    boilerplate bucket cannot fan a probe row out 10^6 ways (same
+    cap²-memory reasoning as MAX_BUCKET/MAX_SIMHASH_BUCKET).  The
+    signature-agreement verify joins store sigs back by store_id —
+    broadcast-sized per probe batch in the normal (<1% re-crawl-drift)
+    regime."""
     from pyspark.sql import Window
 
     sig_new = minhash_signatures(new_df, text_col, id_col, k, fast=fast)
     new_banded = _banded(sig_new, k, bands, fast)
-    store_banded = _banded(
-        store_sigs.select(F.col("id"), F.col("sig")), k, bands, fast
-    )
+    if store_banded is None:
+        store_banded = _banded(
+            store_sigs.select(F.col("id"), F.col("sig")), k, bands, fast
+        )
     ok_store = store_banded.withColumn(
         "_n", F.count("*").over(Window.partitionBy("band", "bucket"))
     )

@@ -164,7 +164,10 @@ def rhp_signature_table(
     from .skew import spread_scan
 
     if dim is None:
-        dim = df.select(F.size(F.col(vec_col)).alias("d")).first().d
+        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is None:  # empty input: empty signature table, same schema
+            return df.withColumn(sig_col, F.lit(None).cast("long"))
+        dim = row.d
     planes = deterministic_planes(dim, n_planes)
     return spread_scan(df).withColumn(sig_col, rhp_signature(F.col(vec_col), planes))
 
@@ -449,8 +452,16 @@ def near_dup_cosine(
 
     from .skew import spread_scan
 
-    # infer dim from one row (driver-side; metadata-cheap)
+    # infer dim from one row (driver-side; metadata-cheap); an EMPTY input
+    # (e.g. every doc dropped by an upstream tier) returns the empty pair
+    # set instead of dereferencing a None row
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("sim"),
+        ).limit(0)
     if n_planes is None:
         n = n_rows if n_rows is not None else df.count()
         n_planes = max(8, math.ceil(math.log2(max(8.0 * n / max_bucket, 2.0))))
@@ -550,8 +561,10 @@ def semantic_dedup(
         norm(F.col(vec_col)).alias("n"),
     )
     if max_cluster is not None:
-        dim = df.select(F.size(F.col(vec_col)).alias("d")).first().d
-        planes = deterministic_planes(dim, sub_planes)
+        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is None:  # empty input: nothing to dedup, return it as-is
+            return df
+        planes = deterministic_planes(row.d, sub_planes)
         csizes = s.groupBy("c").agg(F.count("*").alias("_cn"))
         s = (
             s.join(csizes, "c")
@@ -737,13 +750,20 @@ def quantize_embeddings(
         a.alias("_a"),
         F.round(F.array_max(F.transform(a, F.abs)), 9).alias("scale"),
     )
+    # clamp BEFORE the tinyint cast: scale = round(max|x|, 9) can
+    # under-represent max|x| for near-zero vectors (max|x| 1.4e-9 rounds
+    # to scale 1e-9), pushing round(x*127/scale) to ±128+ — which WRAPS in
+    # Spark's non-ANSI cast (sign-flipped garbage) and ERRORS in DuckDB's
     q = F.when(
         F.col("scale") == 0.0,
         F.transform(F.col("_a"), lambda x: F.lit(0).cast("tinyint")),
     ).otherwise(
         F.transform(
             F.col("_a"),
-            lambda x: F.round(x * 127.0 / F.col("scale"), 0).cast("tinyint"),
+            lambda x: F.least(
+                F.lit(127.0),
+                F.greatest(F.lit(-127.0), F.round(x * 127.0 / F.col("scale"), 0)),
+            ).cast("tinyint"),
         )
     )
     return staged.select(F.col(id_col), F.col("scale"), q.alias("qemb"))
@@ -764,10 +784,30 @@ def topk_cosine_quantized(
     quantization error (~1/254 per component), which is the documented
     trade; the ORACLE is exact because DuckDB quantizes identically.
     Returns (vec_id, qsim)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     from .skew import spread_scan
 
+    # query quantized with the ENGINES' rounding (HALF_UP), not Python's
+    # round() (HALF_EVEN — 2.5 would quantize to 2 here but 3 in the
+    # corpus path, breaking quantize-both-sides symmetry), and clamped to
+    # [-127, 127] like quantize_embeddings
     mx = max(abs(float(x)) for x in query_vec) or 1.0
-    qq = [round(float(x) * 127.0 / round(mx, 9)) for x in query_vec]
+    scale = float(Decimal(repr(mx)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+    qq = [
+        max(
+            -127,
+            min(
+                127,
+                int(
+                    Decimal(repr(float(x) * 127.0 / scale)).quantize(
+                        Decimal("1"), ROUND_HALF_UP
+                    )
+                ),
+            ),
+        )
+        for x in query_vec
+    ]
     qlit = F.array(*[F.lit(int(v)).cast("double") for v in qq])
     quant = quantize_embeddings(spread_scan(df), id_col=id_col, vec_col=vec_col)
     scored = quant.select(

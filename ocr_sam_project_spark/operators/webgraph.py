@@ -161,23 +161,34 @@ def host_degrees(edges: DataFrame) -> DataFrame:
 
 
 def domain_suffixes(host: Column, max_labels: int = 6) -> Column:
-    """Dot-suffixes of a host down to 2 labels, e.g. a.b.c.d ->
-    [a.b.c.d, b.c.d, c.d] (at most max_labels entries).  The split array is
-    materialized once; each suffix is a slice+join over it — no repeated
-    per-element re-parse (HOF-lambda cost rule)."""
+    """Dot-suffixes of a host: the SHORTEST suffixes (lengths 2..max_labels,
+    counted from the registrable end) plus the full host, e.g. a.b.c.d ->
+    [c.d, b.c.d, a.b.c.d].  Keeping the SHORT end is load-bearing for
+    blocklist semantics: UT1-style entries are 2-3 labels, and a cap that
+    kept the LONGEST suffixes instead would let any host evade the list by
+    nesting max_labels+ subdomain labels — 'a.b.c.d.e.f.bad.example' must
+    still emit 'bad.example'.  The split array is materialized once; each
+    suffix is a slice+join over it — no repeated per-element re-parse
+    (HOF-lambda cost rule)."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    return F.filter(
-        F.array(
-            *[
-                F.when(
-                    n - F.lit(i) >= 2,
-                    F.array_join(F.slice(labels, F.lit(i + 1), n), "."),
-                )
-                for i in range(max_labels)
-            ]
-        ),
-        lambda x: x.isNotNull(),
+    return F.array_distinct(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        n >= F.lit(max(ln, 2)),
+                        F.array_join(
+                            F.slice(labels, n - F.lit(ln) + 1, F.lit(ln)), "."
+                        ),
+                    )
+                    for ln in range(2, max_labels + 1)
+                ],
+                # the full host itself (exact-match entries of any depth)
+                F.when(n >= 2, host),
+            ),
+            lambda x: x.isNotNull(),
+        )
     )
 
 
@@ -459,7 +470,11 @@ def crawl_diff(
     status = (
         F.when(F.col("_p").isNull(), "new")
         .when(F.col("_c").isNull(), "gone")
-        .when(F.col("_p.fp") != F.col("_c.fp"), "changed")
+        # null-SAFE: a side with NULL text (fetch failure) has a NULL fp,
+        # and a plain != would evaluate NULL and fall through to
+        # 'unchanged' — silently dropping the page from the incremental
+        # work list ('new'+'changed') forever
+        .when(~F.col("_p.fp").eqNullSafe(F.col("_c.fp")), "changed")
         .otherwise("unchanged")
     )
     return joined.select(

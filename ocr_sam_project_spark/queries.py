@@ -1405,10 +1405,11 @@ _QUANT_DUCK = """
                   THEN list_transform(CAST(embedding AS DOUBLE[]),
                                       x -> CAST(0 AS TINYINT))
                   ELSE list_transform(CAST(embedding AS DOUBLE[]),
-                         x -> CAST(round(x * 127.0 /
+                         x -> CAST(least(127.0, greatest(-127.0,
+                                round(x * 127.0 /
                                 round(list_max(list_transform(
                                   CAST(embedding AS DOUBLE[]), y -> abs(y))), 9),
-                                0) AS TINYINT))
+                                0))) AS TINYINT))
              END AS qemb
       FROM embeddings)"""
 
@@ -3169,7 +3170,10 @@ def _t_dsir_duck() -> str:
     SELECT d.doc_id,
            CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
            CASE WHEN s.n_tokens > 0
-                THEN ROUND(CAST(s.sum_d AS DOUBLE) / s.n_tokens, 6)
+                THEN CAST((CASE WHEN s.sum_d < 0 THEN -1 ELSE 1 END)
+                          * ((2 * ABS(CAST(s.sum_d * 1000000 AS BIGINT))
+                              + s.n_tokens)
+                             // (2 * s.n_tokens)) AS DOUBLE) / 1000000 + 0.0
            END AS avg_logratio
     FROM documents d LEFT JOIN scored s ON s.id = d.doc_id"""
 
@@ -3989,7 +3993,7 @@ def _g_crawl_diff_duck() -> str:
     SELECT COALESCE(p.canonical_url, c.canonical_url) AS canonical_url,
            CASE WHEN p.canonical_url IS NULL THEN 'new'
                 WHEN c.canonical_url IS NULL THEN 'gone'
-                WHEN p.pfp <> c.cfp THEN 'changed'
+                WHEN p.pfp IS DISTINCT FROM c.cfp THEN 'changed'
                 ELSE 'unchanged' END AS status,
            p.prev_id, c.curr_id
     FROM prev p FULL OUTER JOIN curr c ON p.canonical_url = c.canonical_url"""

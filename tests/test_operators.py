@@ -1595,3 +1595,113 @@ def test_ccnet_mixture_rates(spark):
     # determinism: the same call returns the identical set
     again = ccnet_mixture(docs).select("doc_id")
     assert kept.select("doc_id").exceptAll(again).count() == 0
+
+
+def test_near_store_matches_prebanded_identical(spark):
+    import pyspark.sql.functions as F
+
+    from ocr_sam_project_spark.operators.dedup import (
+        minhash_signatures,
+        near_store_matches,
+        store_banded_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    store_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    new_docs = docs.filter(F.col("doc_id") % 3 != 0).limit(50)
+    store_sigs = minhash_signatures(store_docs).select("id", "sig")
+    inline = near_store_matches(new_docs, store_sigs, sim_threshold=0.2)
+    pre = near_store_matches(
+        new_docs,
+        store_sigs,
+        sim_threshold=0.2,
+        store_banded=store_banded_table(store_sigs),
+    )
+    assert inline.exceptAll(pre).count() == 0
+    assert pre.exceptAll(inline).count() == 0
+
+
+def test_blocklist_deep_subdomain_cannot_evade(spark):
+    from ocr_sam_project_spark.operators.webgraph import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.b.c.d.e.f.g.bad.example/x"),  # 9 labels deep
+            (2, "https://ok.example/y"),
+            (3, "https://bad.example/z"),  # exact match
+        ],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame([("bad.example",)], "domain string")
+    kept = {r.doc_id for r in blocklist_filter(pages, blocked).collect()}
+    # the registrable-domain suffix must be generated no matter how many
+    # subdomain labels an adversarial host nests
+    assert kept == {2}
+
+
+def test_crawl_diff_null_text_is_changed(spark):
+    from ocr_sam_project_spark.operators.webgraph import crawl_diff
+
+    prev = spark.createDataFrame(
+        [(1, "https://h.example/a", None), (2, "https://h.example/b", "same")],
+        "doc_id long, url string, text string",
+    )
+    curr = spark.createDataFrame(
+        [(1, "https://h.example/a", "now fetched"), (2, "https://h.example/b", "same")],
+        "doc_id long, url string, text string",
+    )
+    got = {r.canonical_url: r.status for r in crawl_diff(prev, curr).collect()}
+    # a NULL-text side (fetch failure) must read as CHANGED, not silently
+    # 'unchanged' via NULL-propagating fp comparison
+    assert got["https://h.example/a"] == "changed"
+    assert got["https://h.example/b"] == "unchanged"
+
+
+def test_quantize_near_zero_vector_clamps(spark):
+    import pyspark.sql.functions as F
+
+    from ocr_sam_project_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.4e-9, -1.4e-9, 0.0]), (2, [0.0, 0.0, 0.0]), (3, [0.5, -1.0, 0.25])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    # scale under-representation (1.4e-9 -> 1e-9) would push the quant to
+    # 178 and WRAP the tinyint; the clamp pins it at the int8 extreme
+    assert list(got[1].qemb) == [127, -127, 0]
+    assert list(got[2].qemb) == [0, 0, 0] and got[2].scale == 0.0
+    assert list(got[3].qemb) == [64, -127, 32]
+
+
+def test_embedding_ops_empty_input(spark):
+    import pyspark.sql.functions as F
+
+    from ocr_sam_project_spark.operators.similarity import (
+        near_dup_cosine,
+        rhp_signature_table,
+        semantic_dedup,
+    )
+
+    empty = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 0)
+    )
+    assert near_dup_cosine(empty).count() == 0
+    assert semantic_dedup(empty, max_cluster=8).count() == 0
+    assert rhp_signature_table(empty).count() == 0
+
+
+def test_topk_cosine_quantized_symmetry(spark):
+    import pyspark.sql.functions as F
+
+    from ocr_sam_project_spark.operators.similarity import topk_cosine_quantized
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    got = topk_cosine_quantized(emb, qv, k=5).collect()
+    # the query quantizes with the ENGINES' HALF_UP rounding — symmetric
+    # with the corpus path, so the query's own row is its best match
+    assert got[0].vec_id == 0 and abs(got[0].qsim - 1.0) < 1e-6
+    sims = [r.qsim for r in got]
+    assert sims == sorted(sims, reverse=True)

@@ -87,11 +87,20 @@ def test_domain_suffixes(spark):
         .select(domain_suffixes(F.lit("ads.tracker.bad.example")).alias("s"))
         .first()["s"]
     )
+    # SHORTEST-first since the deep-host fix: the cap must keep the
+    # registrable end, or max_labels+ nesting evades the blocklist
     assert out == [
-        "ads.tracker.bad.example",
-        "tracker.bad.example",
         "bad.example",
+        "tracker.bad.example",
+        "ads.tracker.bad.example",
     ]
+    deep = (
+        spark.range(1)
+        .select(domain_suffixes(F.lit("a.b.c.d.e.f.g.bad.example")).alias("s"))
+        .first()["s"]
+    )
+    assert "bad.example" in deep  # the registrable suffix always emits
+    assert "a.b.c.d.e.f.g.bad.example" in deep  # and the exact host too
     # single-label and empty hosts produce no suffixes
     assert (
         spark.range(1).select(domain_suffixes(F.lit("localhost")).alias("s")).first()["s"]
