@@ -34,55 +34,53 @@ def line_dedup(
     formatting variants of a boilerplate line dedup together.  Blank lines
     never participate (kept in place in every doc).
 
-    Scale shape (100 TB): two shuffles, both unavoidable for the semantic —
-    one hash-shuffle of (line-fp, id, pos) for the global first-occurrence
-    window (the payload is one line per row, not the document), and one
-    shuffle by id to reassemble documents.  The C4 paper's MapReduce does
-    exactly these two passes.  Skew guard: a pathological line shared by
-    millions of docs lands in one fp partition, but the partition holds
-    only (id, pos, line) rows and the window computes a single min —
-    bounded memory via TungstenAggregate, no collect."""
-    lines = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("lfp", F.md5(normalize_for_fingerprint(F.col("line"))))
+    Scale shape (100 TB) — the drop-LIST form (r6; the span_dedup shape):
+    line TEXT never crosses an exchange.  The first-occurrence window
+    shuffles only (lfp, id, pos) triples; its losers aggregate to a
+    per-doc dropped-position list (|dups|-sized — tiny for a mostly-unique
+    corpus, broadcast back onto the docs); the rebuild is a narrow array
+    filter over each doc's own split lines.  The previous form reassembled
+    EVERY document through a corpus-wide groupBy(id) carrying full line
+    text — i.e. the text paid two extra exchanges that this shape deletes
+    (guide-§8 discipline: shuffle the lightweight proxy, not the payload).
+    Skew guard unchanged: a pathological line shared by millions of docs
+    lands in one fp partition but carries only (id, pos) rows."""
+    from .skew import spread_scan
+
+    src = spread_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+    )
+    lines = src.select(
+        "id", F.posexplode(F.split(F.col("_txt"), "\n")).alias("pos", "line")
+    )
     participating = F.length(F.trim(F.col("line"))) > 0
+    # project BEFORE the exchange: only (lfp, id, pos) rides the window
+    # shuffle.  Blank lines never share an lfp with a participating line
+    # (their canonical form is ''), so pre-filtering them reproduces the
+    # old min(when(participating, ...)) null-skipping exactly.
+    keyed = lines.filter(participating).select(
+        "id", "pos", F.md5(normalize_for_fingerprint(F.col("line"))).alias("lfp")
+    )
     w = Window.partitionBy("lfp")
-    marked = lines.withColumn(
-        "_winner",
-        F.min(F.when(participating, F.struct("id", "pos"))).over(w),
-    ).withColumn(
-        "_keep",
-        (~participating)
-        | ((F.col("_winner.id") == F.col("id")) & (F.col("_winner.pos") == F.col("pos"))),
-    )
-    # ONE conditional aggregate computes the rebuild AND both counters —
-    # separate kept/dropped aggregates would execute the explode+window DAG
-    # twice (collect_list skips the nulls that non-kept lines produce)
-    rebuilt = marked.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("_keep"), F.struct("pos", "line"))
-                    )
-                ),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("text"),
-        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
-        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_dropped"),
-    )
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(rebuilt, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("text", F.lit("")).alias("text"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+    drops = (
+        keyed.withColumn("_winner", F.min(F.struct("id", "pos")).over(w))
+        .filter(
+            (F.col("_winner.id") != F.col("id"))
+            | (F.col("_winner.pos") != F.col("pos"))
         )
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("_dp"))
+    )
+    joined = src.join(drops, "id", "left")
+    ln = F.split(F.col("_txt"), "\n")
+    dp = F.coalesce(F.col("_dp"), F.array().cast("array<int>"))
+    kept = F.filter(ln, lambda x, i: ~F.array_contains(dp, i))
+    isnull = F.col("_txt").isNull()
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.when(isnull, F.lit("")).otherwise(F.array_join(kept, "\n")).alias("text"),
+        F.when(isnull, F.lit(0)).otherwise(F.size(kept)).cast("long").alias("n_kept"),
+        F.when(isnull, F.lit(0)).otherwise(F.size(dp)).cast("long").alias("n_dropped"),
     )
 
 
@@ -126,12 +124,15 @@ def decontaminate(
     (id, gram) rows (narrow), hits resolve in a broadcast semi-join with no
     corpus shuffle, and only the distinct contaminated-id set (small)
     shuffles before the final anti-join."""
+    from .skew import spread_scan
+
     probe_text_col = probe_text_col or text_col
     probe_grams = (
-        probe_df.select(F.explode(ngrams(F.col(probe_text_col), n)).alias("gram"))
+        spread_scan(probe_df.select(F.col(probe_text_col)))
+        .select(F.explode(ngrams(F.col(probe_text_col), n)).alias("gram"))
         .distinct()
     )
-    corpus_grams = df.select(
+    corpus_grams = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(ngrams(F.col(text_col), n)).alias("gram")
     )
     contaminated = (
@@ -164,6 +165,9 @@ def domain_cap(
     per-domain rank, never its whole slice.  At 10^9-doc domains an
     approximate md5-threshold filter (keep md5(id) < cap/n quantile) drops
     even that."""
+    # NOT spread_scan'd (r6 A/B): the per-row work here is trivial (an md5
+    # only on the over-cap slice), so a full-row spread exchange measured
+    # 2x SLOWER than the single-task scan at sf0.1 (0.43s -> 0.88s).
     counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
     over = counts.filter(F.col("_n") > cap).select(domain_col)
     under_rows = df.join(F.broadcast(over), domain_col, "left_anti")
@@ -199,7 +203,12 @@ def pii_scrub(
     the twin engines transform identically.
 
     Scale shape: pure regexp_count/regexp_replace codegen — narrow,
-    shuffle-free, pipeline-able straight into the curation funnel."""
+    shuffle-free, pipeline-able straight into the curation funnel.  The
+    spread_scan restores parallelism on a single-row-group bench input
+    (guarded no-op at scale where the scan already has >= cores splits)."""
+    from .skew import spread_scan
+
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     t = F.col(text_col)
     out = df.select(
         F.col(id_col),
@@ -289,9 +298,11 @@ def tfidf_topk(
     but at 100 TB it is a whole extra pass to fetch one scalar."""
     from pyspark.sql import Window
 
+    from .skew import spread_scan
+
     if n_docs is None:
         n_docs = df.count()  # fallback scan; the oracle derives the same N
-    toks = df.select(
+    toks = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_for_fingerprint(F.col(text_col)), " ")).alias(
             "term"
@@ -392,6 +403,7 @@ def _pack_binned(df, seq_len, num_parts, text_col, id_col, part_col, extra=None)
     """Shared packing core: per-doc (id, part_id, n_toks, _cum, bin_id).
     `extra` (name -> Column) carries payload THROUGH the stream window's one
     shuffle — cheaper than a second join shuffle to re-attach it later."""
+    from .skew import spread_scan
     from .textstats import token_count
 
     part = (
@@ -399,6 +411,7 @@ def _pack_binned(df, seq_len, num_parts, text_col, id_col, part_col, extra=None)
         if part_col is not None
         else (F.col(id_col) % F.lit(num_parts)).cast("int")
     )
+    df = spread_scan(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         part.alias("part_id"),
@@ -459,60 +472,72 @@ def boilerplate_strip(
     pure-template document.  Blank lines never participate (kept in
     place).
 
-    Scale shape (100 TB): lines explode once; the per-(domain, line-fp)
-    distinct-doc count is a two-level aggregate (dedup (domain, lfp, id)
-    then count — both with map-side partial combine, spill-safe), and the
-    surviving boilerplate set is TINY relative to the corpus (only
-    fingerprints above threshold) so it broadcasts back onto the line
-    stream; one id shuffle rebuilds documents.  A collect_set-over-window
-    formulation would hold every doc id of a mega-shared banner in one
-    window buffer; the aggregate form keeps it under TungstenAggregate
-    spill discipline.  Reference parity: the reference curates documents
+    Scale shape (100 TB): lines explode once, shuffling only (domain, lfp,
+    id) for the two-level distinct-doc count (map-side partial combine,
+    spill-safe); the surviving boilerplate set is TINY relative to the
+    corpus (only fingerprints above threshold), folds to one array per
+    domain, and BROADCASTS onto the docs — the rebuild is then a narrow
+    per-row array filter, so line text never crosses any exchange (the r5
+    form reassembled every document through a corpus-wide groupBy(id)
+    carrying full line text).  Reference parity: the reference curates documents
     one at a time in Lambda handlers and has no cross-document pass at
     all (src/handlers/document_processor/app.py) — this is the
     corpus-level analog the north_star's training-data pipeline needs.
     """
-    lines = df.select(
-        F.col(id_col).alias("id"),
-        F.col(domain_col).alias("domain"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("lfp", F.md5(normalize_for_fingerprint(F.col("line"))))
+    from .skew import spread_scan
+
+    src = spread_scan(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(domain_col).alias("domain"),
+            F.col(text_col).alias("_txt"),
+        )
+    )
+    lines = src.select(
+        "id", "domain", F.explode(F.split(F.col("_txt"), "\n")).alias("line")
+    )
     participating = F.length(F.trim(F.col("line"))) > 0
+    # per-domain template SET (r6 shape): the above-threshold fingerprints
+    # fold to one array per domain — domain-cardinality rows, broadcast —
+    # and the rebuild becomes a NARROW array filter over each doc's own
+    # lines.  The previous form re-exploded every document and reassembled
+    # it through a corpus-wide groupBy(id) carrying full line text; line
+    # text now crosses ZERO exchanges (guide-§8: broadcast the decision,
+    # never shuffle the payload).  The per-domain array is bounded by the
+    # domain's distinct >=min_docs template lines — the same rows the old
+    # broadcast bp table held, regrouped.
     bp = (
         lines.filter(participating)
-        .select("domain", "lfp", "id")
+        .select(
+            "domain",
+            F.md5(normalize_for_fingerprint(F.col("line"))).alias("lfp"),
+            "id",
+        )
         .distinct()
         .groupBy("domain", "lfp")
         .agg(F.count("*").alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
-        .select("domain", "lfp", F.lit(True).alias("_bp"))
+        .groupBy("domain")
+        .agg(F.collect_list("lfp").alias("_bps"))
     )
-    marked = lines.join(F.broadcast(bp), ["domain", "lfp"], "left").withColumn(
-        "_keep", (~participating) | F.col("_bp").isNull()
+    joined = src.join(F.broadcast(bp), "domain", "left")
+    ln = F.split(F.col("_txt"), "\n")
+    bps = F.coalesce(F.col("_bps"), F.array().cast("array<string>"))
+    kept = F.filter(
+        ln,
+        lambda x: (F.length(F.trim(x)) == 0)
+        | ~F.array_contains(bps, F.md5(normalize_for_fingerprint(x))),
     )
-    rebuilt = marked.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.when(F.col("_keep"), F.struct("pos", "line")))
-                ),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("text"),
-        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
-        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_dropped"),
-    )
-    return (
-        df.select(F.col(id_col).alias("id"), F.col(domain_col).alias("domain"))
-        .join(rebuilt, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.col("domain").alias(domain_col),
-            F.coalesce("text", F.lit("")).alias("text"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
-        )
+    isnull = F.col("_txt").isNull()
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.col("domain").alias(domain_col),
+        F.when(isnull, F.lit("")).otherwise(F.array_join(kept, "\n")).alias("text"),
+        F.when(isnull, F.lit(0)).otherwise(F.size(kept)).cast("long").alias("n_kept"),
+        F.when(isnull, F.lit(0))
+        .otherwise(F.size(ln) - F.size(kept))
+        .cast("long")
+        .alias("n_dropped"),
     )
 
 
@@ -553,9 +578,13 @@ def unigram_logprob(
     The totals table becomes group-count-sized (still tiny) and logp joins
     back by (group, term); each id carries exactly one group value so the
     per-doc aggregation keys stay (id)-shaped."""
+    from .skew import spread_scan
+
     grp = [group_col] if group_col else []
-    toks = df.select(
-        F.col(id_col).alias("id"),
+    toks = spread_scan(
+        df.select(F.col(id_col).alias("id"), *[F.col(g) for g in grp], F.col(text_col))
+    ).select(
+        "id",
         *[F.col(g) for g in grp],
         F.explode(F.split(normalize_for_fingerprint(F.col(text_col)), " ")).alias(
             "term"
@@ -650,22 +679,30 @@ def bigram_logprob(
     vocab at web scale is 10^9+ rows), so the probe pays one more
     vocab-keyed shuffle of the doc-bigram tf rows; context totals and V
     fold from the model table (no extra corpus pass)."""
-    arr = F.split(normalize_for_fingerprint(F.col(text_col)), " ")
-    idx = F.when(F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)).otherwise(
-        F.array().cast("array<int>")
+    from .skew import spread_scan
+
+    # r6 shape: the bigram stream explodes an array of (v, w) STRUCTS zipped
+    # from the token array and its own 1-shifted slice, so Generate emits
+    # only (id, v, w) — the r5 element_at form dragged the whole token array
+    # through the explode and gathered per OUTPUT row.  spread_scan restores
+    # scan parallelism when the input is a single row group (no-op at scale).
+    src = spread_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
     )
-    bigrams = df.select(
-        F.col(id_col).alias("id"),
-        arr.alias("_tk"),
-        F.explode_outer(idx).alias("_i"),
-    ).select(
-        "id",
-        F.element_at("_tk", F.col("_i")).alias("v"),
-        F.element_at("_tk", F.col("_i") + 1).alias("w"),
+    arr = F.split(normalize_for_fingerprint(F.col("_txt")), " ")
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+        ),
+    ).otherwise(F.array().cast("array<struct<v:string,w:string>>"))
+    bigrams = src.select("id", F.explode(pairs).alias("_p")).select(
+        "id", F.col("_p.v").alias("v"), F.col("_p.w").alias("w")
     )
     tf = (
-        bigrams.filter(F.col("v").isNotNull())
-        .groupBy("id", "v", "w")
+        bigrams.groupBy("id", "v", "w")
         .agg(F.count("*").alias("tf"))
         .localCheckpoint(eager=False)
     )
@@ -728,9 +765,12 @@ def token_budget_select(
     rows through one window partition — at 10^9-doc domains, pre-filter
     with an approximate quality threshold from a sample before the exact
     window."""
+    from .skew import spread_scan
     from .textstats import quality_score, token_count
 
-    scored = df.select(
+    scored = spread_scan(
+        df.select(F.col(id_col), F.col(domain_col), F.col(text_col))
+    ).select(
         F.col(id_col).alias("id"),
         F.col(domain_col).alias("domain"),
         token_count(F.col(text_col)).alias("n_tokens"),
@@ -780,6 +820,9 @@ def intra_doc_dedup(
     shuffle for linear work.  Reference parity: the reference has no
     corpus- or document-level dedup at all (each Lambda invocation sees
     one page); this is training-data plumbing the north_star needs."""
+    from .skew import spread_scan
+
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     lines = F.split(F.col(text_col), "\n")
 
     def _fp(x):
@@ -853,8 +896,10 @@ def dsir_weights(
     delta table broadcasts back onto tf.  No second corpus-wide
     shuffle."""
 
+    from .skew import spread_scan
+
     def _terms(d):
-        return d.select(
+        return spread_scan(d.select(F.col(text_col))).select(
             F.explode(
                 F.split(normalize_for_fingerprint(F.col(text_col)), " ")
             ).alias("term")
@@ -916,7 +961,9 @@ def dsir_weights(
 
 
 def _terms_with_id(d: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return d.select(
+    from .skew import spread_scan
+
+    return spread_scan(d.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_for_fingerprint(F.col(text_col)), " ")).alias(
             "term"
@@ -937,19 +984,30 @@ def dup_ngram_frac(
     zero grams and NULL dup_frac.
 
     Scale shape (100 TB): the token array is materialized once and grams
-    gather by O(1) element_at (the winnowing lesson); the per-gram
-    distinct-doc count is a two-level aggregate (distinct (gfp, id) then
-    count) with map-side partial combine, and the shared-gram set joins
-    back onto the gram stream as a gfp-keyed hash join — both sides
-    derive from the same explode and hash-partition on gfp, so AQE
-    coalesces rather than re-shuffles.  The shared set is NOT broadcast:
-    at web scale it is corpus-sized (every boilerplate gram), unlike
-    boilerplate_strip's above-threshold template set."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("_t"),
+    gather by O(1) element_at (the winnowing lesson); the shared-gram set
+    comes from ONE gfp-keyed aggregate — min(id) != max(id) encodes
+    ">= 2 distinct docs" with map-side partial combine, where the r5 form
+    paid a full (id, gfp) distinct shuffle of the gram stream first (one
+    corpus-stream exchange deleted); per-doc totals are a NARROW
+    projection off the token array (n_grams is a pure function of the
+    text — the r5 form shuffled the whole gram stream a second time to
+    count it).  The shared set is NOT broadcast: at web scale it is
+    corpus-sized (every boilerplate gram), unlike boilerplate_strip's
+    above-threshold template set."""
+    from .skew import spread_scan
+
+    toks = spread_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+    ).select(
+        "id",
+        F.split(normalize_for_fingerprint(F.col("_txt")), " ").alias("_t"),
     )
     k = F.size(F.col("_t")) - (n - 1)
+    # one row per doc regardless of gram count — totals need no shuffle
+    totals = toks.select(
+        "id",
+        F.when(k <= 0, F.lit(0)).otherwise(k).cast("long").alias("n_grams"),
+    )
     grams = toks.select(
         "id",
         F.explode(
@@ -966,26 +1024,22 @@ def dup_ngram_frac(
         ).alias("gfp"),
     ).localCheckpoint(eager=False)
     shared = (
-        grams.distinct()
-        .groupBy("gfp")
-        .agg(F.count("*").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
+        grams.groupBy("gfp")
+        .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
         .select("gfp")
     )
     per_doc = grams.join(shared, "gfp", "left_semi").groupBy("id").agg(
         F.count("*").alias("dup_grams")
     )
-    totals = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     return (
-        df.select(F.col(id_col).alias("id"))
-        .join(totals, "id", "left")
-        .join(per_doc, "id", "left")
+        totals.join(per_doc, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.col("n_grams"),
             F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
             F.when(
-                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.col("n_grams") > 0,
                 F.round(
                     F.coalesce("dup_grams", F.lit(0)).cast("double") / F.col("n_grams"),
                     6,
@@ -1027,10 +1081,11 @@ def span_dedup(
     length — no corpus-sized state, no driver collect.  A pathological
     gram shared by millions of docs lands in one fp partition but carries
     only (id, pos) rows, and the window computes a single min."""
+    from .skew import spread_scan
     from .textstats import normalize_for_fingerprint
 
     norm = normalize_for_fingerprint(F.col(text_col))
-    toks = df.select(
+    toks = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         F.split(norm, " ").alias("tk"),
         F.when(F.length(norm) == 0, F.lit(0))
