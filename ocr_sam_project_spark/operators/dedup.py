@@ -308,9 +308,11 @@ def resolve_clusters(
     their own canon (see dedup_keep).
 
     Algorithm: iterative min-label propagation with pointer jumping —
-    each round every node takes min(own label, neighbors' labels), then
-    label := label(label) (path halving), so convergence is O(log diameter)
-    join rounds, not O(diameter).  Each round localCheckpoints (truncating
+    each round every node takes min(own label, neighbors' labels) via ONE
+    join+aggregate over a self-loop-augmented edge list (the self edge
+    contributes the own label, so no separate join-back of the label
+    table), then label := label(label) (path halving), so convergence is
+    O(log diameter) join rounds, not O(diameter).  Each round localCheckpoints (truncating
     the exponentially growing lineage — the classic iterative-Spark trap)
     and the loop exits on a zero-changes round.  At web scale each round is
     two key-shuffles over the PAIR graph only (bucket-capped by the LSH
@@ -319,30 +321,26 @@ def resolve_clusters(
     import warnings
 
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    lab = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("lbl", F.col("id"))
-        .localCheckpoint(eager=False)
-    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    ids = sym.select(F.col("a").alias("id")).distinct().localCheckpoint(eager=False)
+    # SELF-LOOPS folded into the edge list (r6): min over {own label} ∪
+    # {neighbor labels} becomes ONE join + aggregate per round, deleting
+    # the separate left-join-back of the label table the r5 form paid
+    # (same result — the self edge contributes exactly the own label).
+    edges = sym.union(
+        ids.select(F.col("id").alias("a"), F.col("id").alias("b"))
+    ).localCheckpoint(eager=False)
+    lab = ids.withColumn("lbl", F.col("id"))
     converged = False
     prev_sum = object()  # sentinel: never equal on the first round
     for _ in range(max_iter):
-        nbr = (
+        new = (
             edges.join(
                 lab.select(F.col("id").alias("b"), F.col("lbl").alias("nlbl")), "b"
             )
             .groupBy("a")
-            .agg(F.min("nlbl").alias("nmin"))
-            .select(F.col("a").alias("id"), "nmin")
-        )
-        new = lab.join(nbr, "id", "left").select(
-            "id", F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl")
+            .agg(F.min("nlbl").alias("lbl"))
+            .select(F.col("a").alias("id"), "lbl")
         )
         # pointer jump (path halving): lbl <- label(lbl); labels are always
         # node ids, so `new` doubles as the lookup table

@@ -28,43 +28,49 @@ def inverted_postings(
     holds the `max_postings` smallest doc ids, ascending; truncated flags
     capped terms.  Doc-level postings (positions are span_dedup's domain).
 
-    Scale shape (100 TB): the (term, id) pairs shuffle ONCE on term; the
-    dedup, the rank window, and the final aggregate all reuse that
-    partitioning (one Exchange total, plan-guarded).  Because n_docs is
-    the TRUE df, every pair must reach its term partition — no group
-    limit can apply — so the cap's job is bounding what gets COLLECTED:
-    row_number gates collect_list via a when() (collect_list skips
-    nulls), and a stopword's posting ARRAY never materializes corpus-wide
-    while its count still streams through the hash aggregate.  An
-    uncapped collect_list on 'the' at 10^12 docs would be the exact
-    uncapped-corner class the LSH family guards against — the cap is not
-    optional at scale.  (If approximate df suffices, feed cm_sketch
-    instead and cap the shuffle itself.)"""
+    Scale shape (100 TB) — the de-skewed r6 form (the anchor_topk shape):
+    the r5 single-term-shuffle plan ran the dedup, the rank SORT, and the
+    aggregate of a hot term ('the' at 10^12 docs) in ONE task — the cap
+    bounded only the collected array, not the window sort feeding it.
+    Now (1) the (term, id) dedup partitions on (term, id), so a hot term
+    spreads over the whole cluster; (2) true df is a plain aggregate with
+    map-side partial counts (skew-safe — per-map output is bounded by the
+    task's distinct terms); (3) postings come from a rank FILTER
+    (_rn <= cap), which Spark plans as a partial WindowGroupLimit
+    (plan-tested) so each map task forwards at most cap rows per term
+    into the final per-term rank; (4) df and postings join back on term —
+    both sides already term-partitioned, no extra exchange.  The heavy
+    pair stream crosses one skew-free exchange; the two term-keyed
+    exchanges carry partially-aggregated / group-limited rows only."""
+    from .skew import spread_scan
+
     pairs = (
-        df.select(
+        spread_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col).alias("id"),
             F.explode(
                 F.split(normalize_for_fingerprint(F.col(text_col)), " ")
             ).alias("term"),
         )
         .filter(F.col("term") != "")
-        # ONE explicit term-shuffle; a bare .distinct() would partition by
-        # (term, id) and force the window to re-shuffle on term.  Term
-        # partitioning satisfies the (term, id) dedup's clustering too, so
-        # dropDuplicates, the window, and the final groupBy all reuse it.
-        .repartition("term")
+        # partitions on (term, id) — the hot-term skew guard; both
+        # consumers below share this one exchange via ReuseExchange, so
+        # the pair stream is exploded and shuffled exactly once
         .dropDuplicates(["term", "id"])
     )
-    w_rank = Window.partitionBy("term").orderBy("id")
-    ranked = pairs.select(
-        "term", "id", F.row_number().over(w_rank).alias("_rn")
-    )
-    return ranked.groupBy("term").agg(
+    dfreq = pairs.groupBy("term").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("_rn") <= max_postings, F.col("id")))
-        ).alias("postings"),
         (F.count("*") > max_postings).alias("truncated"),
+    )
+    w_rank = Window.partitionBy("term").orderBy("id")
+    capped = (
+        pairs.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") <= max_postings)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("id")).alias("postings"))
+    )
+    return dfreq.join(capped, "term").select(
+        "term", "n_docs", "postings", "truncated"
     )
 
 
@@ -96,10 +102,12 @@ def bm25_topk(
     at ingest — kept inline here so the query is self-contained and the
     oracle closed-form.  Final top-k is a k-row TakeOrdered, never a
     global sort."""
+    from .skew import spread_scan
     from .textstats import token_count
 
     qt = sorted({t.lower() for t in query_terms})
-    toks = df.select(
+    src = spread_scan(df.select(F.col(id_col), F.col(text_col)))
+    toks = src.select(
         F.col(id_col).alias("id"),
         token_count(F.col(text_col)).cast("long").alias("dl"),
         F.explode(
@@ -113,7 +121,7 @@ def bm25_topk(
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
         .localCheckpoint(eager=False)
     )
-    stats = df.agg(
+    stats = src.agg(
         F.count("*").cast("double").alias("_n"),
         (F.sum(token_count(F.col(text_col))).cast("double")
          / F.count("*")).alias("_avgdl"),

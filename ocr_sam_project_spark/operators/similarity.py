@@ -470,11 +470,14 @@ def near_dup_cosine(
     # re-run three O(dim) HOF aggregates per candidate pair; carrying the
     # scalar norm leaves one dot per pair (identical arithmetic — the norm
     # value is the same computation, so 6-dp rounding parity is preserved)
+    # lazy localCheckpoint: `s` feeds the cap's size aggregate AND both
+    # sides of the self-join — without it the signature pandas-UDF pass
+    # re-executes once per consumer (3x the Arrow matmul work, measured)
     s = spread_scan(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("n"),
         rhp_signature(F.col(vec_col), planes).alias("sig"),
-    )
+    ).localCheckpoint(eager=False)
     s = salted_group_cap(s, ["sig"], max_bucket, "id")
     a, b = s.alias("a"), s.alias("b")
     return (
@@ -553,13 +556,16 @@ def semantic_dedup(
 
     assigned = ivf_assign(df, n_centroids, id_col, vec_col, centroids=centroids)
     # norm precomputed once per row (see near_dup_cosine): one dot per pair
-    # instead of three HOF aggregates, identical arithmetic at 6 dp
+    # instead of three HOF aggregates, identical arithmetic at 6 dp.
+    # lazy localCheckpoint: `s` feeds the guard's two size aggregates AND
+    # both sides of the pair self-join — without it the IVF-assignment
+    # pandas-UDF pass re-executes once per consumer (up to 5x, measured)
     s = assigned.select(
         F.col("centroid_id").alias("c"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     if max_cluster is not None:
         row = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if row is None:  # empty input: nothing to dedup, return it as-is
@@ -678,6 +684,13 @@ def kmeans_fit(
 
     Returns (assignments DataFrame (id, cluster_id, sim), centroids dict
     cid -> list[float])."""
+    # lazy localCheckpoint of the slim (id, vec) projection: Lloyd runs
+    # iters+2 jobs over the same input (centroid sample, one aggregate per
+    # iteration, the final assignment) — the checkpoint materializes the
+    # scan+decode once and every later job reads executor-local blocks
+    # instead of re-scanning the source (r6; the iterative-input analog of
+    # host_rank's checkpointed edge list)
+    df = df.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=False)
     cent_rows = ivf_centroids(df, k, id_col, vec_col)
     if not cent_rows:
         empty = df.select(
@@ -860,12 +873,13 @@ def contrastive_pairs(
         max_bucket=max_bucket,
     ).withColumn("label", F.lit(1))
     assigned = ivf_assign(df, n_centroids, id_col=id_col, vec_col=vec_col)
+    # lazy localCheckpoint: same multi-consumer reuse as semantic_dedup
     s = assigned.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("n"),
         "centroid_id",
-    )
+    ).localCheckpoint(eager=False)
     s = salted_group_cap(s, ["centroid_id"], max_cluster, "id")
     a, b = s.alias("a"), s.alias("b")
     sim = F.round(

@@ -4021,7 +4021,12 @@ def _g_host_components_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import hash64
     from .operators.webgraph import extract_links, host_edges
 
-    edges = host_edges(extract_links(_g_pages(spark, sf_dir)))
+    # lazy localCheckpoint: the edge list feeds BOTH the component loop and
+    # the hosts branch — without it the link-extraction regex pass re-runs
+    # per consumer (r6)
+    edges = host_edges(extract_links(_g_pages(spark, sf_dir))).localCheckpoint(
+        eager=False
+    )
     # resolve_clusters' convergence certificate (monotone label SUM) needs
     # NUMERIC labels — hash hosts to the portable 56-bit id space first,
     # then map component ids back onto host strings
@@ -4562,9 +4567,12 @@ def _a_cm_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sketches import cm_estimate, cm_sketch
     from .operators.textstats import normalize_for_fingerprint
 
+    from .operators.skew import spread_scan
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = (
-        docs.select(
+        spread_scan(docs.select("text"))
+        .select(
             F.explode(
                 F.split(normalize_for_fingerprint(F.col("text")), " ")
             ).alias("term")
