@@ -77,6 +77,41 @@ def _tune_split_size(
         pass
 
 
+def _row_groups_below(pages_path: str, cores: int) -> bool:
+    """True iff the LOCAL parquet input's total row-group count is below
+    `cores` — i.e. the scan cannot reach full parallelism no matter the
+    split size (parquet is unsplittable below row-group granularity).
+    Only reads footers when the file COUNT is already below `cores` (a
+    many-file input is parallel enough without any probe), so at scale
+    this never touches a footer.  Non-local / unreadable paths: False."""
+    import os
+
+    try:
+        if os.path.isdir(pages_path):
+            files = [
+                os.path.join(root, f)
+                for root, _dirs, fs in os.walk(pages_path)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+        elif os.path.isfile(pages_path):
+            files = [pages_path]
+        else:
+            return False
+        if len(files) >= cores:
+            return False
+        import pyarrow.parquet as pq
+
+        groups = 0
+        for f in files:
+            groups += pq.ParquetFile(f).metadata.num_row_groups
+            if groups >= cores:
+                return False
+        return True
+    except Exception:
+        return False
+
+
 def with_part_id(pages: DataFrame, num_parts: int = DEFAULT_NUM_PARTS) -> DataFrame:
     """Uniform url-hash salt — the unit of lineage/resume."""
     return pages.withColumn(
@@ -194,7 +229,21 @@ def run_extraction_job(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     _tune_split_size(spark, pages_path, split_parallelism)
 
-    pages = with_part_id(spark.read.parquet(pages_path), num_parts)
+    # Row-group-aware spread at the SCAN (r6): when the input is a handful
+    # of single-row-group files, parquet cannot split below row-group
+    # granularity, so _tune_split_size plans many byte-range tasks but only
+    # row-group-count of them carry rows — every admission tier and the
+    # Python extraction then run on that many cores.  (spread_scan's
+    # partition-count probe is fooled by exactly those empty splits, so the
+    # guard here counts REAL row groups from the local footers — and only
+    # when the file count is below the core count, so at scale no footer is
+    # ever read and this is a no-op.)  Measured at sf0.1 on a 4-row-group
+    # input: extract+write 10s -> ~3s on local[32].
+    raw_pages = spark.read.parquet(pages_path)
+    par = spark.sparkContext.defaultParallelism
+    if _row_groups_below(pages_path, par):
+        raw_pages = raw_pages.repartition(par)
+    pages = with_part_id(raw_pages, num_parts)
 
     done = set(completed_parts(spark, lineage_path))
     todo = pages.filter(~F.col("part_id").isin(list(done))) if done else pages
@@ -241,8 +290,8 @@ def run_extraction_job(
         )
         blocked_by_part = _per_part_counts(bl_losers)
         blocked_dropped = sum(blocked_by_part.values())
-        todo = todo.join(bl_losers, "url", "left_anti")
-        dedup_universe = dedup_universe.join(bl_losers, "url", "left_anti")
+        todo = todo.join(F.broadcast(bl_losers), "url", "left_anti")
+        dedup_universe = dedup_universe.join(F.broadcast(bl_losers), "url", "left_anti")
         tm = _mark("blocklist", tm)
 
     # --- tier -0.5: robots.txt admission (REP verdict per url) -----------
@@ -265,8 +314,8 @@ def run_extraction_job(
         )
         robots_by_part = _per_part_counts(rb_losers)
         robots_dropped = sum(robots_by_part.values())
-        todo = todo.join(rb_losers, "url", "left_anti")
-        dedup_universe = dedup_universe.join(rb_losers, "url", "left_anti")
+        todo = todo.join(F.broadcast(rb_losers), "url", "left_anti")
+        dedup_universe = dedup_universe.join(F.broadcast(rb_losers), "url", "left_anti")
         tm = _mark("robots", tm)
     admission_by_part = {
         p: blocked_by_part.get(p, 0) + robots_by_part.get(p, 0)
@@ -291,8 +340,8 @@ def run_extraction_job(
         )
         url_drops_by_part = _per_part_counts(url_losers)
         url_dups_dropped = sum(url_drops_by_part.values())
-        todo = todo.join(url_losers, "url", "left_anti")
-        dedup_universe = dedup_universe.join(url_losers, "url", "left_anti")
+        todo = todo.join(F.broadcast(url_losers), "url", "left_anti")
+        dedup_universe = dedup_universe.join(F.broadcast(url_losers), "url", "left_anti")
         tm = _mark("url-dedup", tm)
 
     dups_by_part: dict[int, int] = {}
@@ -313,10 +362,15 @@ def run_extraction_job(
         ).localCheckpoint()  # eager: the dedup DAG runs exactly once
         dups_by_part = _per_part_counts(losers)
         dups_dropped = sum(dups_by_part.values())
-        # Regime note (100 TB): this anti-join broadcasts while the loser
-        # set fits spark.sql.autoBroadcastJoinThreshold (the common <~1%-dup
-        # case — losers are |dups|-sized, not corpus-sized).  Past that
-        # threshold the planner falls back to SortMergeJoin, i.e. a full
+        # Regime note (100 TB): every loser anti-join in this job carries an
+        # EXPLICIT broadcast hint (r6): the checkpointed loser sets are
+        # LogicalRDD scans whose size statistic defaults to Long.Max, so
+        # without the hint the planner NEVER chose broadcast and the corpus
+        # paid a SortMergeJoin shuffle with its html/text payload (measured
+        # 10.4s -> 4.7s on the dedup pipeline's extract+write at sf0.1).
+        # The hint is also the documented regime: losers are |dups|-sized,
+        # not corpus-sized (the common <~1%-dup case).  Past broadcastable
+        # size the right call is NOT SortMergeJoin anyway, i.e. a full
         # wide shuffle of the PAGES including html payload — at a 10%-dup
         # 100 TB corpus that shuffle is the job.  The high-dup deployment
         # keeps the corpus bucketed by url at ingest (Iceberg bucket(url,N)
@@ -324,7 +378,7 @@ def run_extraction_job(
         # sources.bucketing.bucketed_anti_join does this step with NO
         # Exchange on either side (plan-tested in
         # test_plans.test_bucketed_dedup_anti_join_has_no_exchange).
-        todo = todo.join(losers, "url", "left_anti")
+        todo = todo.join(F.broadcast(losers), "url", "left_anti")
         tm = _mark("dedup", tm)
 
     store_dups_by_part: dict[int, int] = {}
@@ -354,7 +408,7 @@ def run_extraction_job(
                 F.length(F.trim(F.col("text"))) > 0
             )
             if dedup is not None:
-                store_universe = store_universe.join(losers, "url", "left_anti")
+                store_universe = store_universe.join(F.broadcast(losers), "url", "left_anti")
             fps = corpus_fingerprints(store_universe, "text", "url")
             # Optional Bloom admission tier (fp_store_bloom): at store >>
             # batch scale the semi-join shuffles the whole new batch on fp
@@ -380,7 +434,7 @@ def run_extraction_job(
             )
             store_dups_by_part = _per_part_counts(store_losers)
             store_dups_dropped = sum(store_dups_by_part.values())
-            todo = todo.join(store_losers, "url", "left_anti")
+            todo = todo.join(F.broadcast(store_losers), "url", "left_anti")
             tm = _mark("store-dedup", tm)
 
     # part_id is a pure function of url, so it is recomputed after the Arrow
