@@ -578,13 +578,13 @@ def unigram_logprob(
     The totals table becomes group-count-sized (still tiny) and logp joins
     back by (group, term); each id carries exactly one group value so the
     per-doc aggregation keys stay (id)-shaped."""
-    from .skew import spread_scan
-
+    # NOT spread_scan'd (r6 A/B): unlike the gram-assembling operators the
+    # token explode here is cheap, and an interleaved A/B at sf0.1 measured
+    # the spread exchange a slight net loss (medians 4.4s vs 3.7s under
+    # load; 1.58s vs 1.18s in the clean full-bench window)
     grp = [group_col] if group_col else []
-    toks = spread_scan(
-        df.select(F.col(id_col).alias("id"), *[F.col(g) for g in grp], F.col(text_col))
-    ).select(
-        "id",
+    toks = df.select(
+        F.col(id_col).alias("id"),
         *[F.col(g) for g in grp],
         F.explode(F.split(normalize_for_fingerprint(F.col(text_col)), " ")).alias(
             "term"

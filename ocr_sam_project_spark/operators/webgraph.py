@@ -301,6 +301,10 @@ def host_rank(
     (edges, not links).  Ranks are checkpointed per round to keep the plan
     tree bounded (the resolve_clusters pattern).  n_hosts lets ingest pass
     the known node count and skip the count() job."""
+    # the edge list feeds nodes, the out-total aggregate AND the weighted
+    # join — without this checkpoint the subtree that produced it (at bench:
+    # the whole link-extraction regex pass) re-ran once per consumer (r6)
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .unionByName(edges.select(F.col("dst_host").alias("host")))

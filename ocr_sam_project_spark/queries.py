@@ -46,6 +46,12 @@ _LOADED: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDiction
 def _load(spark: SparkSession, sf_dir: str) -> None:
     if _LOADED.get(spark) == sf_dir:
         return
+    # Views are registered over the BARE scans (r6 A/B): wrapping the big
+    # tables in spread_scan regressed nearly every SQL query (a2 0.22s ->
+    # 0.74s, w1 0.30s -> 0.71s, q3 0.76s -> 1.20s at sf0.1) — their per-row
+    # expressions are cheap and the aggregates already do map-side partials,
+    # so the exchange costs more than the single-task scan it parallelizes.
+    # The spread belongs only inside the regex/Python-heavy operators.
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     _LOADED[spark] = sf_dir
@@ -1835,7 +1841,11 @@ def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> pages shape with the deterministic pseudo-oficio header
     grafted on (same enrichment as __spark_entry__.entry), so the full
     extractor chain has real structure to find."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .operators.skew import spread_scan
+
+    # spread_scan: the single-row-group bench input would otherwise feed
+    # the whole Arrow extraction stage from ONE task (no-op at scale)
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.lit(None).cast("binary").alias("html"),
