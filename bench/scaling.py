@@ -60,15 +60,31 @@ spark.stop()
 """
 
 
+def _loadavg() -> float | None:
+    """1-minute host load average — the contention witness every scaling
+    row must carry (r6: the criterion's evidence is load-sensitive, and
+    rows without a recorded load sample keep re-litigating whether a
+    marginal efficiency was the code or the neighbors)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return None
+
+
 def run_at(cpus: int, pages: str, warm_pages: str, split_par: int, reps: int = 3) -> dict:
     code = _CHILD.format(here=HERE, cpus=cpus, pages=pages, warm_pages=warm_pages,
                          split_par=split_par, reps=reps)
+    load0 = _loadavg()
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
+    load1 = _loadavg()
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            r = json.loads(line[len("RESULT "):])
+            r["load_before"], r["load_after"] = load0, load1
+            return r
     raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
 
 
@@ -119,6 +135,10 @@ def main() -> None:
         "criterion_ge_0.8": eff >= 0.8,
         "all_docs_per_sec_small": [round(r["docs_per_sec"], 1) for r in smalls],
         "all_docs_per_sec_large": [round(r["docs_per_sec"], 1) for r in larges],
+        # per-child (before, after) 1-min load samples, in run order —
+        # self-annotating contention evidence for every row
+        "loadavg_small": [[r["load_before"], r["load_after"]] for r in smalls],
+        "loadavg_large": [[r["load_before"], r["load_after"]] for r in larges],
     }
     print(json.dumps(result))
 
@@ -134,10 +154,19 @@ def main() -> None:
                 "| pages | local[N] | local[4N] | docs/s @N | docs/s @4N | efficiency | pass |\n"
                 "|---|---|---|---|---|---|---|\n"
             )
+        # the winning (best-throughput) child's load window rides in the
+        # pass cell so every appended row is self-annotating
+        lw_s = [r for r in smalls if r["docs_per_sec"] == small["docs_per_sec"]][0]
+        lw_l = [r for r in larges if r["docs_per_sec"] == large["docs_per_sec"]][0]
+        loads = (
+            f"load N {lw_s['load_before']}->{lw_s['load_after']}, "
+            f"4N {lw_l['load_before']}->{lw_l['load_after']}"
+        )
         f.write(
             f"| {args.pages} | local[{args.n}] | local[{args.n * 4}] "
             f"| {result['docs_per_sec_small']} | {result['docs_per_sec_large']} "
-            f"| {result['scaling_efficiency']} | {'YES' if eff >= 0.8 else 'NO'} |\n"
+            f"| {result['scaling_efficiency']} "
+            f"| {'YES' if eff >= 0.8 else 'NO'} ({loads}) |\n"
         )
 
 

@@ -273,13 +273,19 @@ def minhash_near_dups(
     # portable path over the string shingles its DuckDB twin reproduces
     mk_sh = with_shingle_hashes if fast else with_shingles
     sh_col = "_shh" if fast else "_sh"
+    # broadcast the candidate-id set (r6): it descends from the checkpointed
+    # candidate pairs (LogicalRDD, Long.Max default size stat), so without
+    # the hint the semi-join SortMergeJoin-shuffled the whole corpus with
+    # its text payload just to keep the few candidate rows
     sh = mk_sh(
-        df.join(cand_ids, F.col(id_col) == F.col("id"), "left_semi"), text_col
+        df.join(F.broadcast(cand_ids), F.col(id_col) == F.col("id"), "left_semi"),
+        text_col,
     ).select(F.col(id_col).alias("id"), F.col(sh_col).alias("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sha"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_shb"))
     return (
-        cand.join(a, "id_a")
+        F.broadcast(cand)
+        .join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
             "jaccard",
@@ -425,9 +431,12 @@ def dedup_keep(
     """One canonical row per duplicate cluster — the keep-one semantic a
     training-corpus dedup actually needs (pairs alone don't dedup anything).
     Docs in no duplicate relation always survive (anti-join on the small
-    loser set, which AQE broadcasts)."""
+    loser set — EXPLICITLY broadcast (r6): the minhash path's losers
+    descend from resolve_clusters' checkpointed labels, a LogicalRDD whose
+    default Long.Max size statistic otherwise forces a corpus-wide
+    SortMergeJoin carrying the text payload)."""
     losers = dedup_losers(df, method, text_col, id_col, threshold, bands)
-    return df.join(losers, id_col, "left_anti")
+    return df.join(F.broadcast(losers), id_col, "left_anti")
 
 
 # --------------------------------------------------------------------------
@@ -814,7 +823,10 @@ def quality_canonical(
         F.col(id_col).alias("doc_id"),
         F.round(quality_score(F.col(text_col)), 6).alias("_q"),
     )
-    m = q.join(clusters, "doc_id")
+    # broadcast the near-dup-sized membership table (r6): it is a
+    # checkpoint-descended LogicalRDD with a Long.Max default size stat,
+    # which otherwise forces a corpus-side shuffle join
+    m = q.join(F.broadcast(clusters), "doc_id")
     return (
         m.groupBy("canonical_id")
         .agg(

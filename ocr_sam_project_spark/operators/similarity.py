@@ -606,7 +606,11 @@ def semantic_dedup(
         .filter(F.col("doc_id") != F.col("canonical_id"))
         .select(F.col("doc_id").alias(id_col))
     )
-    return df.join(losers, id_col, "left_anti")
+    # explicit broadcast (r6): the loser set descends from resolve_clusters'
+    # checkpointed labels — a LogicalRDD whose size statistic defaults to
+    # Long.Max, so without the hint the anti-join planned as a corpus-wide
+    # SortMergeJoin carrying the embedding payload
+    return df.join(F.broadcast(losers), id_col, "left_anti")
 
 
 # --------------------------------------------------------------------------

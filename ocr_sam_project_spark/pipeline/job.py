@@ -131,7 +131,11 @@ def completed_parts(spark: SparkSession, lineage_path: str) -> list[int]:
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return []
-    lin = spark.read.parquet(lineage_path)
+    # mergeSchema (ADVICE r5): lineage is append-only and its schema grew
+    # mid-history (8 -> 11 columns); without merging, Spark picks one
+    # file's footer arbitrarily and the newer audit columns can silently
+    # vanish from reads over a mixed directory
+    lin = spark.read.option("mergeSchema", "true").parquet(lineage_path)
     latest = (
         lin.groupBy("part_id")
         .agg(F.max_by("status", "updated_at").alias("status"))
