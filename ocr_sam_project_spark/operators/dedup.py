@@ -276,9 +276,13 @@ def minhash_near_dups(
     # broadcast the candidate-id set (r6): it descends from the checkpointed
     # candidate pairs (LogicalRDD, Long.Max default size stat), so without
     # the hint the semi-join SortMergeJoin-shuffled the whole corpus with
-    # its text payload just to keep the few candidate rows
+    # its text payload just to keep the few candidate rows.  spread_scan
+    # keeps the post-broadcast shingle pass parallel when the scan is a
+    # single row group (the SMJ's accidental virtue; no-op at scale).
     sh = mk_sh(
-        df.join(F.broadcast(cand_ids), F.col(id_col) == F.col("id"), "left_semi"),
+        spread_scan(df).join(
+            F.broadcast(cand_ids), F.col(id_col) == F.col("id"), "left_semi"
+        ),
         text_col,
     ).select(F.col(id_col).alias("id"), F.col(sh_col).alias("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sha"))
