@@ -273,23 +273,21 @@ def minhash_near_dups(
     # portable path over the string shingles its DuckDB twin reproduces
     mk_sh = with_shingle_hashes if fast else with_shingles
     sh_col = "_shh" if fast else "_sh"
-    # broadcast the candidate-id set (r6): it descends from the checkpointed
-    # candidate pairs (LogicalRDD, Long.Max default size stat), so without
-    # the hint the semi-join SortMergeJoin-shuffled the whole corpus with
-    # its text payload just to keep the few candidate rows.  spread_scan
-    # keeps the post-broadcast shingle pass parallel when the scan is a
-    # single row group (the SMJ's accidental virtue; no-op at scale).
+    # NO explicit broadcast hints here (r6 A/B): the candidate frames are
+    # checkpoint-descended LogicalRDDs with Long.Max size stats, but these
+    # joins run INSIDE the one query job where AQE re-plans them from real
+    # runtime sizes (local shuffle reads), so hinting only added a driver
+    # collect job per broadcast — measured 4.2s vs 3.7s median interleaved
+    # on the d_lsh_clusters path.  (Contrast job.py's loser anti-joins,
+    # where the eager-checkpoint + Arrow-stage shape prevented the rescue
+    # and explicit hints were a 5x win — the hint belongs there, not here.)
     sh = mk_sh(
-        spread_scan(df).join(
-            F.broadcast(cand_ids), F.col(id_col) == F.col("id"), "left_semi"
-        ),
-        text_col,
+        df.join(cand_ids, F.col(id_col) == F.col("id"), "left_semi"), text_col
     ).select(F.col(id_col).alias("id"), F.col(sh_col).alias("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sha"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_shb"))
     return (
-        F.broadcast(cand)
-        .join(a, "id_a")
+        cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
             "jaccard",
@@ -435,12 +433,13 @@ def dedup_keep(
     """One canonical row per duplicate cluster — the keep-one semantic a
     training-corpus dedup actually needs (pairs alone don't dedup anything).
     Docs in no duplicate relation always survive (anti-join on the small
-    loser set — EXPLICITLY broadcast (r6): the minhash path's losers
-    descend from resolve_clusters' checkpointed labels, a LogicalRDD whose
-    default Long.Max size statistic otherwise forces a corpus-wide
-    SortMergeJoin carrying the text payload)."""
+    loser set, which AQE re-plans as a broadcast from real runtime sizes —
+    an explicit hint was A/B'd in r6 and reverted: within one query job the
+    rescue already happens, and the hint's extra driver collect job
+    measured a net loss; see job.py for the pipeline case where the hint
+    IS required)."""
     losers = dedup_losers(df, method, text_col, id_col, threshold, bands)
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")
 
 
 # --------------------------------------------------------------------------
@@ -827,10 +826,7 @@ def quality_canonical(
         F.col(id_col).alias("doc_id"),
         F.round(quality_score(F.col(text_col)), 6).alias("_q"),
     )
-    # broadcast the near-dup-sized membership table (r6): it is a
-    # checkpoint-descended LogicalRDD with a Long.Max default size stat,
-    # which otherwise forces a corpus-side shuffle join
-    m = q.join(F.broadcast(clusters), "doc_id")
+    m = q.join(clusters, "doc_id")
     return (
         m.groupBy("canonical_id")
         .agg(

@@ -606,11 +606,10 @@ def semantic_dedup(
         .filter(F.col("doc_id") != F.col("canonical_id"))
         .select(F.col("doc_id").alias(id_col))
     )
-    # explicit broadcast (r6): the loser set descends from resolve_clusters'
-    # checkpointed labels — a LogicalRDD whose size statistic defaults to
-    # Long.Max, so without the hint the anti-join planned as a corpus-wide
-    # SortMergeJoin carrying the embedding payload
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    # no explicit broadcast hint (r6 A/B): AQE re-plans this anti-join from
+    # real runtime sizes within the query job; the hint's extra driver
+    # collect job measured a small net loss (see dedup_keep's note)
+    return df.join(losers, id_col, "left_anti")
 
 
 # --------------------------------------------------------------------------
