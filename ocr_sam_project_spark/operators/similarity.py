@@ -452,20 +452,29 @@ def near_dup_cosine(
 
     from .skew import spread_scan
 
-    # infer dim from one row (driver-side; metadata-cheap); an EMPTY input
-    # (e.g. every doc dropped by an upstream tier) returns the empty pair
-    # set instead of dereferencing a None row
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
+    # infer dim driver-side; an EMPTY input (e.g. every doc dropped by an
+    # upstream tier) returns the empty pair set instead of dereferencing a
+    # None row.  When the plane-count fallback needs the corpus size too,
+    # ONE aggregate job returns (count, dim) together — the r5 form paid a
+    # first() job AND a count() job (r6).
+    if n_planes is None and n_rows is None:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.first(F.size(F.col(vec_col))).alias("d"),
+        ).first()
+        n, dim = (row.n, row.d) if row is not None else (0, None)
+    else:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        n, dim = (n_rows, first.d) if first is not None else (0, None)
+    if dim is None or n == 0:
         return df.select(
             F.col(id_col).alias("id_a"),
             F.col(id_col).alias("id_b"),
             F.lit(0.0).alias("sim"),
         ).limit(0)
     if n_planes is None:
-        n = n_rows if n_rows is not None else df.count()
         n_planes = max(8, math.ceil(math.log2(max(8.0 * n / max_bucket, 2.0))))
-    planes = deterministic_planes(first.d, n_planes)
+    planes = deterministic_planes(dim, n_planes)
     # norms precomputed ONCE per row, not per pair: cosine(a,b) inline would
     # re-run three O(dim) HOF aggregates per candidate pair; carrying the
     # scalar norm leaves one dot per pair (identical arithmetic — the norm
@@ -554,6 +563,11 @@ def semantic_dedup(
     exactly as the unguarded form)."""
     from .dedup import resolve_clusters
 
+    # centroids computed HERE and passed down (r6): the sample doubles as
+    # the dim probe (cvec length), deleting the separate first() job the
+    # guard path paid, and ivf_assign skips its own collect
+    if centroids is None:
+        centroids = ivf_centroids(df, n_centroids, id_col, vec_col)
     assigned = ivf_assign(df, n_centroids, id_col, vec_col, centroids=centroids)
     # norm precomputed once per row (see near_dup_cosine): one dot per pair
     # instead of three HOF aggregates, identical arithmetic at 6 dp.
@@ -567,10 +581,9 @@ def semantic_dedup(
         norm(F.col(vec_col)).alias("n"),
     ).localCheckpoint(eager=False)
     if max_cluster is not None:
-        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        if row is None:  # empty input: nothing to dedup, return it as-is
+        if not centroids:  # empty input: nothing to dedup, return it as-is
             return df
-        planes = deterministic_planes(row.d, sub_planes)
+        planes = deterministic_planes(len(centroids[0].cvec), sub_planes)
         csizes = s.groupBy("c").agg(F.count("*").alias("_cn"))
         s = (
             s.join(csizes, "c")
